@@ -1,0 +1,211 @@
+"""Typed configuration tree.
+
+Capability parity with the reference's ~70 argparse flags
+(`/root/reference/onpolicy/config.py:156-307`), re-designed as a frozen
+dataclass so the whole config can be closed over by jitted functions as
+static metadata (no traced values). Defaults match the reference.
+
+An argparse bridge (`get_config()` / `config_from_args`) is provided for
+CLI entry points; unknown flags raise instead of being silently ignored
+(the reference used `parse_known_args`, a footgun we fix).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class Config:
+    # ---- prepare ----
+    algorithm_name: str = "mappo"  # mappo|rmappo|ippo|happo|hatrpo|mat|mat_dec
+    experiment_name: str = "check"
+    seed: int = 1
+    n_training_threads: int = 1          # host threads (XLA manages intra-op)
+    n_rollout_threads: int = 32          # parallel env instances
+    n_eval_rollout_threads: int = 1
+    n_render_rollout_threads: int = 1
+    num_env_steps: int = 10_000_000
+    user_name: str = "onpolicy_tpu"
+    use_wandb: bool = False
+
+    # ---- env ----
+    env_name: str = "MPE"
+    scenario_name: str = "simple_spread"
+    num_agents: int = 3
+    num_landmarks: int = 3
+    use_obs_instead_of_state: bool = False
+
+    # ---- replay buffer ----
+    episode_length: int = 200
+
+    # ---- network ----
+    share_policy: bool = True
+    use_centralized_V: bool = True
+    stacked_frames: int = 1
+    use_stacked_frames: bool = False
+    hidden_size: int = 64
+    layer_N: int = 1
+    use_ReLU: bool = True
+    use_popart: bool = False
+    use_valuenorm: bool = True
+    use_feature_normalization: bool = True
+    use_orthogonal: bool = True
+    gain: float = 0.01
+
+    # ---- recurrent policy ----
+    use_naive_recurrent_policy: bool = False
+    use_recurrent_policy: bool = True
+    recurrent_N: int = 1
+    data_chunk_length: int = 10
+
+    # ---- optimizer ----
+    lr: float = 5e-4
+    critic_lr: float = 5e-4
+    opti_eps: float = 1e-5
+    weight_decay: float = 0.0
+
+    # ---- trpo (HATRPO) ----
+    kl_threshold: float = 0.01
+    ls_step: int = 10
+    accept_ratio: float = 0.5
+
+    # ---- ppo ----
+    ppo_epoch: int = 15
+    use_clipped_value_loss: bool = True
+    clip_param: float = 0.2
+    num_mini_batch: int = 1
+    entropy_coef: float = 0.01
+    value_loss_coef: float = 1.0
+    use_max_grad_norm: bool = True
+    max_grad_norm: float = 10.0
+    use_gae: bool = True
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    use_proper_time_limits: bool = False
+    use_huber_loss: bool = True
+    use_value_active_masks: bool = True
+    use_policy_active_masks: bool = True
+    huber_delta: float = 10.0
+
+    # ---- run ----
+    use_linear_lr_decay: bool = False
+
+    # ---- save / log ----
+    save_interval: int = 1
+    log_interval: int = 5
+    model_dir: Optional[str] = None
+
+    # ---- eval / render ----
+    use_eval: bool = False
+    eval_interval: int = 25
+    eval_episodes: int = 32
+    save_gifs: bool = False
+    use_render: bool = False
+    render_episodes: int = 5
+    ifi: float = 0.1
+
+    # ---- MAT / transformer ----
+    n_block: int = 1
+    n_embd: int = 64
+    n_head: int = 1
+    dec_actor: bool = False
+    share_actor: bool = False
+
+    # ---- TPU-native additions (no reference analogue) ----
+    mesh_shape: Tuple[int, ...] = (1,)   # devices along the 'data' axis
+    compute_dtype: str = "float32"       # network compute dtype
+    param_dtype: str = "float32"
+    env_device: str = "auto"             # 'device' (pure-JAX env) | 'host'
+    profile_dir: Optional[str] = None    # jax.profiler trace destination
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    # -- derived / validation ----------------------------------------
+    def validate(self) -> "Config":
+        if self.use_popart and self.use_valuenorm:
+            raise ValueError("use_popart and use_valuenorm are exclusive")
+        if self.algorithm_name in ("rmappo", "happo", "hatrpo"):
+            if not (self.use_recurrent_policy or self.use_naive_recurrent_policy):
+                raise ValueError(f"{self.algorithm_name} expects a recurrent policy")
+        total_batch = self.episode_length * self.n_rollout_threads
+        if total_batch % self.num_mini_batch != 0:
+            raise ValueError(
+                f"episode_length*n_rollout_threads={total_batch} not divisible "
+                f"by num_mini_batch={self.num_mini_batch}")
+        return self
+
+    @property
+    def is_recurrent(self) -> bool:
+        return self.use_recurrent_policy or self.use_naive_recurrent_policy
+
+
+def canonicalize_algorithm(cfg: Config) -> Config:
+    """Algorithm-name → flag canonicalization.
+
+    Mirrors the per-entry-point mutation in the reference
+    (`scripts/train/train_mpe.py:68-80`): rmappo ⇒ recurrent, mappo/mat ⇒
+    feed-forward, ippo ⇒ decentralized V, mat_dec ⇒ dec_actor.
+    """
+    name = cfg.algorithm_name
+    if name == "rmappo":
+        cfg = cfg.replace(use_recurrent_policy=True, use_naive_recurrent_policy=False)
+    elif name in ("mappo", "mat", "mat_dec"):
+        cfg = cfg.replace(use_recurrent_policy=False, use_naive_recurrent_policy=False)
+    elif name == "ippo":
+        cfg = cfg.replace(use_centralized_V=False)
+    elif name in ("happo", "hatrpo"):
+        cfg = cfg.replace(share_policy=False)
+    else:
+        raise ValueError(f"unknown algorithm {name!r}")
+    if name == "mat_dec":
+        cfg = cfg.replace(dec_actor=True, share_actor=True)
+    return cfg
+
+
+_BOOL_FIELDS = {
+    f.name for f in dataclasses.fields(Config) if f.type in ("bool", bool)
+}
+
+
+def get_config() -> argparse.ArgumentParser:
+    """Build an ArgumentParser whose flags mirror the Config fields.
+
+    Booleans accept an optional explicit value (`--use_popart`,
+    `--use_popart false`); everything else is typed from the dataclass
+    default.
+    """
+    p = argparse.ArgumentParser("onpolicy_tpu", allow_abbrev=False)
+    for f in dataclasses.fields(Config):
+        name = "--" + f.name
+        default = f.default if f.default is not dataclasses.MISSING else None
+        if f.name in _BOOL_FIELDS:
+            p.add_argument(name, nargs="?", const=True, default=default,
+                           type=_parse_bool)
+        elif f.name == "mesh_shape":
+            p.add_argument(name, type=_parse_ints, default=default)
+        elif f.type in ("Optional[str]",):
+            p.add_argument(name, type=str, default=default)
+        else:
+            p.add_argument(name, type=type(default) if default is not None else str,
+                           default=default)
+    return p
+
+
+def _parse_bool(s):
+    if isinstance(s, bool):
+        return s
+    return s.lower() in ("1", "true", "yes", "on")
+
+
+def _parse_ints(s):
+    return tuple(int(x) for x in s.split(","))
+
+
+def config_from_args(argv=None, **overrides) -> Config:
+    ns = get_config().parse_args(argv)
+    cfg = Config(**vars(ns)).replace(**overrides)
+    return canonicalize_algorithm(cfg).validate()

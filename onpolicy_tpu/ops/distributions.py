@@ -1,0 +1,144 @@
+"""Action distributions as pure-JAX pytree structs.
+
+Re-derivation of the reference's torch distribution wrappers
+(`/root/reference/onpolicy/algorithms/utils/distributions.py`) with the
+same reduction conventions, which the PPO losses depend on:
+
+  * ``log_prob`` reduces event dims and keeps a trailing singleton axis
+    (shape ``[..., 1]``) so it broadcasts against masks/advantages;
+  * ``entropy`` reduces event dims to shape ``[...]`` (no keepdim);
+  * ``mode`` / ``sample`` return integer actions with a trailing
+    singleton axis for discrete spaces;
+  * unavailable discrete actions are masked by setting logits to a large
+    negative constant before softmax (reference: ``logits[avail==0]=-1e10``,
+    distributions.py:64-68).
+
+All structs are `flax.struct` pytrees: they can be returned from jitted
+functions and vmapped over batch/agent axes.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+MASK_NEG = -1e10
+
+
+def mask_logits(logits: jax.Array, available_actions: jax.Array | None) -> jax.Array:
+    """Suppress unavailable actions. `available_actions` is {0,1}-valued."""
+    if available_actions is None:
+        return logits
+    return jnp.where(available_actions > 0, logits, jnp.asarray(MASK_NEG, logits.dtype))
+
+
+@struct.dataclass
+class Categorical:
+    """Masked categorical over the last axis. `logits` shape [..., n]."""
+    logits: jax.Array
+
+    @classmethod
+    def create(cls, logits, available_actions=None):
+        return cls(logits=mask_logits(logits, available_actions))
+
+    @property
+    def log_softmax(self):
+        return jax.nn.log_softmax(self.logits, axis=-1)
+
+    @property
+    def probs(self):
+        return jax.nn.softmax(self.logits, axis=-1)
+
+    def sample(self, key: jax.Array) -> jax.Array:
+        a = jax.random.categorical(key, self.logits, axis=-1)
+        return a[..., None]
+
+    def mode(self) -> jax.Array:
+        return jnp.argmax(self.logits, axis=-1)[..., None]
+
+    def log_prob(self, actions: jax.Array) -> jax.Array:
+        """actions: [..., 1] integer. Returns [..., 1]."""
+        a = actions[..., 0].astype(jnp.int32)
+        lp = jnp.take_along_axis(self.log_softmax, a[..., None], axis=-1)
+        return lp  # [..., 1]
+
+    def entropy(self) -> jax.Array:
+        ls = self.log_softmax
+        p = jnp.exp(ls)
+        # 0 * log 0 := 0 for fully-masked entries
+        plogp = jnp.where(p > 0, p * ls, 0.0)
+        return -jnp.sum(plogp, axis=-1)
+
+
+@struct.dataclass
+class DiagGaussian:
+    """Diagonal gaussian; `mean`/`log_std` shape [..., d]."""
+    mean: jax.Array
+    log_std: jax.Array
+
+    @property
+    def std(self):
+        return jnp.exp(self.log_std)
+
+    def sample(self, key: jax.Array) -> jax.Array:
+        return self.mean + self.std * jax.random.normal(key, self.mean.shape, self.mean.dtype)
+
+    def mode(self) -> jax.Array:
+        return self.mean
+
+    def log_prob(self, actions: jax.Array) -> jax.Array:
+        var = jnp.square(self.std)
+        lp = -0.5 * (jnp.square(actions - self.mean) / var
+                     + jnp.log(2.0 * jnp.pi) + 2.0 * self.log_std)
+        return jnp.sum(lp, axis=-1, keepdims=True)
+
+    def entropy(self) -> jax.Array:
+        per_dim = 0.5 + 0.5 * jnp.log(2.0 * jnp.pi) + self.log_std
+        return jnp.sum(per_dim, axis=-1)
+
+    def kl(self, other: "DiagGaussian") -> jax.Array:
+        """KL(self ‖ other), closed form, summed over event dim, keepdim."""
+        var0, var1 = jnp.square(self.std), jnp.square(other.std)
+        kl = (other.log_std - self.log_std
+              + (var0 + jnp.square(self.mean - other.mean)) / (2.0 * var1) - 0.5)
+        return jnp.sum(kl, axis=-1, keepdims=True)
+
+
+@struct.dataclass
+class Bernoulli:
+    """Independent bernoullis; `logits` shape [..., d]."""
+    logits: jax.Array
+
+    @property
+    def probs(self):
+        return jax.nn.sigmoid(self.logits)
+
+    def sample(self, key: jax.Array) -> jax.Array:
+        u = jax.random.uniform(key, self.logits.shape)
+        return (u < self.probs).astype(jnp.float32)
+
+    def mode(self) -> jax.Array:
+        return (self.probs > 0.5).astype(jnp.float32)
+
+    def log_prob(self, actions: jax.Array) -> jax.Array:
+        lp = -_binary_cross_entropy_with_logits(self.logits, actions)
+        return jnp.sum(lp, axis=-1, keepdims=True)
+
+    def entropy(self) -> jax.Array:
+        p = self.probs
+        ent = _binary_cross_entropy_with_logits(self.logits, p)
+        return jnp.sum(ent, axis=-1)
+
+
+def _binary_cross_entropy_with_logits(logits, labels):
+    # max(l,0) - l*y + log(1+exp(-|l|)) — numerically stable BCE
+    return (jnp.maximum(logits, 0.0) - logits * labels
+            + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+
+def categorical_kl_approx(p_probs: jax.Array, q_probs: jax.Array) -> jax.Array:
+    """The reference HATRPO's smoothed categorical KL
+    (`hatrpo_trainer.py:130-141`): KL over probs with +1e-10 smoothing."""
+    p = p_probs + 1e-10
+    q = q_probs + 1e-10
+    return jnp.sum(p * (jnp.log(p) - jnp.log(q)), axis=-1, keepdims=True)
