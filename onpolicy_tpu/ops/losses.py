@@ -49,19 +49,20 @@ def value_loss(
     use_huber_loss: bool = True,
     huber_delta: float = 10.0,
     use_value_active_masks: bool = True,
-) -> Tuple[jax.Array, Optional[vn.ValueNormState]]:
+) -> jax.Array:
     """Clipped value loss with optional target normalization.
 
-    Matches `r_mappo.py:52-89`: the normalizer is updated on the raw
-    returns, errors are computed in normalized space, the per-element
-    loss is max(orig, clipped), reduced by active masks when enabled.
-    Returns (loss, new_norm_state).
+    Matches `r_mappo.py:52-89`: errors are computed in normalized space,
+    the per-element loss is max(orig, clipped), reduced by active masks
+    when enabled. NOTE: the trainer is responsible for *updating*
+    `norm_state` (and rescaling the PopArt head) on the raw returns
+    BEFORE calling this — here the state is only used to normalize the
+    target, keeping the loss differentiable-pure. Returns loss.
     """
     value_pred_clipped = value_preds_old + jnp.clip(
         values - value_preds_old, -clip_param, clip_param)
 
     if norm_state is not None:
-        norm_state = vn.update(norm_state, returns)
         target = vn.normalize(norm_state, returns)
     else:
         target = returns
@@ -80,7 +81,7 @@ def value_loss(
         else loss_original
 
     mask = active_masks if use_value_active_masks else None
-    return masked_mean(loss, mask), norm_state
+    return masked_mean(loss, mask)
 
 
 def ppo_policy_loss(
@@ -101,7 +102,10 @@ def ppo_policy_loss(
     ratio = jnp.exp(log_prob_new - log_prob_old)
     surr1 = ratio * advantages
     surr2 = jnp.clip(ratio, 1.0 - clip_param, 1.0 + clip_param) * advantages
-    surr = jnp.minimum(surr1, surr2)
+    # sum over action heads first (keepdim), then batch-reduce — the
+    # reference's `-torch.sum(min(surr1,surr2), dim=-1, keepdim=True)`
+    # (r_mappo.py:129-141); matters for MultiDiscrete (K heads).
+    surr = jnp.sum(jnp.minimum(surr1, surr2), axis=-1, keepdims=True)
     if factor is not None:
         surr = factor * surr
     mask = active_masks if use_policy_active_masks else None
