@@ -49,6 +49,11 @@ class MAPPO:
     """Shared-policy MAPPO. Static metadata lives on `self`; all state
     threads through `TrainState` pytrees."""
 
+    # HAPPO overrides: joint per-head ratio + stats-only "popart"
+    prod_ratio_heads = False
+    popart_rescales_head = True
+    critic_reads = "share_obs"   # MAT's encoder-critic reads obs instead
+
     def __init__(self, cfg, obs_space, share_obs_space, act_space,
                  total_updates: int = 1):
         self.cfg = cfg
@@ -110,16 +115,18 @@ class MAPPO:
         return actions, rnn_actor
 
     # ---- training ----------------------------------------------------
-    def _sample_minibatches(self, buf, adv, key):
+    def _sample_minibatches(self, buf, adv, key, factor=None):
         cfg = self.cfg
         if cfg.use_recurrent_policy:
             return buf_lib.recurrent_minibatches(
-                buf, adv, key, cfg.num_mini_batch, cfg.data_chunk_length)
+                buf, adv, key, cfg.num_mini_batch, cfg.data_chunk_length,
+                factor=factor)
         if cfg.use_naive_recurrent_policy:
             return buf_lib.naive_recurrent_minibatches(
-                buf, adv, key, cfg.num_mini_batch)
+                buf, adv, key, cfg.num_mini_batch, factor=factor)
         return buf_lib.feed_forward_minibatches(buf, adv, key,
-                                                cfg.num_mini_batch)
+                                                cfg.num_mini_batch,
+                                                factor=factor)
 
     def _update(self, state: TrainState, mb: dict) -> Tuple[TrainState, dict]:
         """One PPO minibatch update (`r_mappo.ppo_update`, :91-169)."""
@@ -129,11 +136,13 @@ class MAPPO:
         # normalizer update on raw returns (+ PopArt head rescale) first
         vnorm = state.vnorm
         critic_params = state.critic_params
-        if cfg.use_popart:
+        if cfg.use_popart and self.popart_rescales_head:
             new_vout, vnorm = popart.update(critic_params["v_out"], vnorm,
                                             mb["returns"].reshape(-1, 1))
             critic_params = {**critic_params, "v_out": new_vout}
-        elif cfg.use_valuenorm:
+        elif cfg.use_popart or cfg.use_valuenorm:
+            # HAPPO/HATRPO use the stats-only normalizer even under
+            # --use_popart (popart_hatrpo.py is a ValueNorm clone)
             vnorm = vn.update(vnorm, mb["returns"].reshape(-1, 1))
 
         avail = mb.get("available_actions")
@@ -159,7 +168,8 @@ class MAPPO:
                 logp, mb["old_action_log_probs"], mb["advantages"],
                 mb["active_masks"], clip_param=cfg.clip_param,
                 use_policy_active_masks=cfg.use_policy_active_masks,
-                factor=mb.get("factor"))
+                factor=mb.get("factor"),
+                prod_ratio_heads=self.prod_ratio_heads)
             v_loss = losses.value_loss(
                 values, mb["value_preds"], mb["returns"], mb["active_masks"],
                 vnorm, clip_param=cfg.clip_param,
@@ -189,20 +199,40 @@ class MAPPO:
         ), aux
 
     def train(self, state: TrainState, buf: buf_lib.RolloutBuffer,
-              key: jax.Array) -> Tuple[TrainState, dict]:
+              key: jax.Array, factor: Optional[jax.Array] = None
+              ) -> Tuple[TrainState, dict]:
         """Full PPO update over a collected buffer (`r_mappo.train`,
         :171-224): masked advantage standardization, then
-        ppo_epoch × num_mini_batch updates as nested scans."""
+        ppo_epoch × num_mini_batch updates as nested scans. `factor` is
+        HAPPO's sequential-update weight [T, N, M, 1]."""
         cfg = self.cfg
         adv = losses.normalize_advantages(
             buf.advantages,
             buf.active_masks[:-1] if cfg.use_policy_active_masks else None)
 
         def epoch_fn(st, ekey):
-            mbs = self._sample_minibatches(buf, adv, ekey)
+            mbs = self._sample_minibatches(buf, adv, ekey, factor=factor)
             return jax.lax.scan(self._update, st, mbs)
 
         keys = jax.random.split(key, cfg.ppo_epoch)
         state, metrics = jax.lax.scan(epoch_fn, state, keys)
         metrics = jax.tree_util.tree_map(jnp.mean, metrics)
         return state, metrics
+
+    # ---- whole-batch sequence log-probs (HAPPO factor bookkeeping) ----
+    def evaluate_full_logp(self, state: TrainState,
+                           buf: buf_lib.RolloutBuffer) -> jax.Array:
+        """Log-probs of the buffer's actions under the CURRENT actor over
+        the full [T, N·M] episode (sequence-mode GRU from the t=0 hidden
+        state), matching `runner/separated/base_runner.py:149-161`.
+        Returns [T, N, M, Alp]."""
+        T, N, M = buf.T, buf.n_rollout_threads, buf.num_agents
+        fold = lambda x: x.reshape(T, N * M, *x.shape[3:])
+        avail = (fold(buf.available_actions[:-1])
+                 if buf.available_actions is not None else None)
+        h0 = buf.rnn_states[0].reshape(N * M, *buf.rnn_states.shape[3:])
+        logp, _ = self.actor.evaluate_seq(
+            state.actor_params, fold(buf.obs[:-1]), h0, fold(buf.actions),
+            fold(buf.masks[:-1]), avail,
+            fold(buf.active_masks[:-1]))
+        return logp.reshape(T, N, M, -1)

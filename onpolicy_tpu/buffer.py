@@ -157,11 +157,14 @@ def _train_fields(buf: RolloutBuffer) -> dict:
 
 
 def feed_forward_minibatches(buf: RolloutBuffer, advantages: jax.Array,
-                             key: jax.Array, num_mini_batch: int) -> dict:
+                             key: jax.Array, num_mini_batch: int,
+                             factor: Optional[jax.Array] = None) -> dict:
     """Flatten T·N·M and split a random permutation into equal minibatches.
     Returns a dict pytree with leading axis [num_mini_batch, mb_size]."""
     d = _train_fields(buf)
     d["advantages"] = advantages
+    if factor is not None:
+        d["factor"] = factor
     T, N, M = buf.T, buf.n_rollout_threads, buf.num_agents
     total = T * N * M
     assert total % num_mini_batch == 0, (
@@ -176,12 +179,15 @@ def feed_forward_minibatches(buf: RolloutBuffer, advantages: jax.Array,
 
 
 def transformer_minibatches(buf: RolloutBuffer, advantages: jax.Array,
-                            key: jax.Array, num_mini_batch: int) -> dict:
+                            key: jax.Array, num_mini_batch: int,
+                            factor: Optional[jax.Array] = None) -> dict:
     """MAT sampler: batch = T·N, agent axis kept intact
     (`feed_forward_generator_transformer`; agent shuffling is a no-op in
     the reference, shared_buffer.py:15-19)."""
     d = _train_fields(buf)
     d["advantages"] = advantages
+    if factor is not None:
+        d["factor"] = factor
     T, N, M = buf.T, buf.n_rollout_threads, buf.num_agents
     total = T * N
     assert total % num_mini_batch == 0
@@ -196,7 +202,8 @@ def transformer_minibatches(buf: RolloutBuffer, advantages: jax.Array,
 
 def recurrent_minibatches(buf: RolloutBuffer, advantages: jax.Array,
                           key: jax.Array, num_mini_batch: int,
-                          data_chunk_length: int) -> dict:
+                          data_chunk_length: int,
+                          factor: Optional[jax.Array] = None) -> dict:
     """Chunked-BPTT sampler (`recurrent_generator`).
 
     Reorders to env-major [N, M, T, ...] (matching `_cast`,
@@ -207,6 +214,8 @@ def recurrent_minibatches(buf: RolloutBuffer, advantages: jax.Array,
     [L·batch] flattening."""
     d = _train_fields(buf)
     d["advantages"] = advantages
+    if factor is not None:
+        d["factor"] = factor
     T, N, M = buf.T, buf.n_rollout_threads, buf.num_agents
     L = data_chunk_length
     assert T % L == 0, f"episode_length {T} % data_chunk_length {L} != 0"
@@ -233,12 +242,15 @@ def recurrent_minibatches(buf: RolloutBuffer, advantages: jax.Array,
 
 
 def naive_recurrent_minibatches(buf: RolloutBuffer, advantages: jax.Array,
-                                key: jax.Array, num_mini_batch: int) -> dict:
+                                key: jax.Array, num_mini_batch: int,
+                                factor: Optional[jax.Array] = None) -> dict:
     """Whole-episode sampler (`naive_recurrent_generator`): batch over the
     N·M env-agent sequences, full T length, initial rnn state from t=0.
     Returns [num_mini_batch, T, mb, ...]."""
     d = _train_fields(buf)
     d["advantages"] = advantages
+    if factor is not None:
+        d["factor"] = factor
     T, N, M = buf.T, buf.n_rollout_threads, buf.num_agents
     total = N * M
     assert total % num_mini_batch == 0

@@ -93,13 +93,20 @@ def ppo_policy_loss(
     clip_param: float,
     use_policy_active_masks: bool = True,
     factor: Optional[jax.Array] = None,
+    prod_ratio_heads: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Clipped surrogate. Returns (loss, mean_ratio).
 
     `factor` is HAPPO's sequential-update weight (`happo_trainer.py:137-141`);
-    None for plain MAPPO.
+    None for plain MAPPO. `prod_ratio_heads` selects HAPPO's joint ratio
+    Π_k exp(Δlogp_k) (keepdim) over MAPPO's per-head ratios
+    (`happo_trainer.py:131` vs `r_mappo.py:118-141`).
     """
-    ratio = jnp.exp(log_prob_new - log_prob_old)
+    delta = log_prob_new - log_prob_old
+    if prod_ratio_heads:
+        ratio = jnp.exp(jnp.sum(delta, axis=-1, keepdims=True))
+    else:
+        ratio = jnp.exp(delta)
     surr1 = ratio * advantages
     surr2 = jnp.clip(ratio, 1.0 - clip_param, 1.0 + clip_param) * advantages
     # sum over action heads first (keepdim), then batch-reduce — the

@@ -30,6 +30,7 @@ import numpy as np
 
 from onpolicy_tpu import buffer as buf_lib
 from onpolicy_tpu.algorithms.mappo import MAPPO
+from onpolicy_tpu.algorithms.mat import MAT
 from onpolicy_tpu.envs.mpe import make_vec_env
 from onpolicy_tpu.parallel import mesh as mesh_lib
 from onpolicy_tpu.utils import spaces as sp
@@ -59,8 +60,12 @@ class SharedRunner:
         self.act_space = self.envs.action_space[0]
 
         self.episodes = int(cfg.num_env_steps) // cfg.episode_length // self.N
-        self.algo = MAPPO(cfg, obs_space, share_obs_space, self.act_space,
-                          total_updates=self.episodes)
+        if cfg.algorithm_name in ("mat", "mat_dec"):
+            self.algo = MAT(cfg, obs_space, share_obs_space, self.act_space,
+                            total_updates=self.episodes, num_agents=M)
+        else:
+            self.algo = MAPPO(cfg, obs_space, share_obs_space, self.act_space,
+                              total_updates=self.episodes)
 
         self.mesh = mesh_lib.make_mesh(cfg.mesh_shape)
         self._episode_fn = jax.jit(self._episode)
@@ -155,8 +160,10 @@ class SharedRunner:
         buf = buf_lib.from_rollout(traj, last)
 
         # bootstrap + GAE (base_runner.compute, :120-134)
+        critic_in = (last["share_obs"] if self.algo.critic_reads == "share_obs"
+                     else carry2["obs"])
         next_values = unflat(self.algo.get_values(
-            train_state, flat(last["share_obs"]), flat(carry2["rnn_critic"]),
+            train_state, flat(critic_in), flat(carry2["rnn_critic"]),
             flat(carry2["masks"])))
         buf = buf.compute_returns(
             next_values, train_state.vnorm, gamma=cfg.gamma,
