@@ -36,6 +36,8 @@ class Config:
     scenario_name: str = "simple_spread"
     num_agents: int = 3
     num_landmarks: int = 3
+    num_good_agents: int = 1
+    num_adversaries: int = 3
     use_obs_instead_of_state: bool = False
 
     # ---- replay buffer ----

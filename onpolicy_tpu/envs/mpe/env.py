@@ -37,10 +37,15 @@ class MPEEnv:
     """One env instance as pure reset/step functions (vmap over envs)."""
 
     def __init__(self, scenario_name: str, num_agents: int,
-                 num_landmarks: int, episode_length: int):
+                 num_landmarks: int, episode_length: int,
+                 num_good_agents: int = 1, num_adversaries: int = 3):
+        from types import SimpleNamespace
         self.scenario = scenario_registry.load(scenario_name)
-        self.spec = self.scenario.make_spec(num_agents, num_landmarks,
-                                            episode_length)
+        args = SimpleNamespace(
+            num_agents=num_agents, num_landmarks=num_landmarks,
+            episode_length=episode_length, num_good_agents=num_good_agents,
+            num_adversaries=num_adversaries)
+        self.spec = self.scenario.make_spec(args)
         self.scenario_name = scenario_name
         spec = self.spec
         M = spec.n_agents
@@ -155,5 +160,6 @@ class MPEVecEnv:
 
 def make_vec_env(cfg, n_envs: int = None) -> MPEVecEnv:
     env = MPEEnv(cfg.scenario_name, cfg.num_agents, cfg.num_landmarks,
-                 cfg.episode_length)
+                 cfg.episode_length, getattr(cfg, "num_good_agents", 1),
+                 getattr(cfg, "num_adversaries", 3))
     return MPEVecEnv(env, n_envs or cfg.n_rollout_threads)

@@ -28,7 +28,9 @@ LANDMARK_COLORS = jnp.array([
 ], jnp.float32)
 
 
-def make_spec(num_agents: int, num_landmarks: int, episode_length: int) -> WorldSpec:
+def make_spec(args) -> WorldSpec:
+    num_agents, num_landmarks = args.num_agents, args.num_landmarks
+    episode_length = args.episode_length
     assert num_agents == 2, "simple_speaker_listener supports exactly 2 agents"
     K = num_landmarks
     return WorldSpec(

@@ -21,7 +21,9 @@ from onpolicy_tpu.envs.mpe.world import WorldSpec
 shared_reward = True
 
 
-def make_spec(num_agents: int, num_landmarks: int, episode_length: int) -> WorldSpec:
+def make_spec(args) -> WorldSpec:
+    num_agents, num_landmarks = args.num_agents, args.num_landmarks
+    episode_length = args.episode_length
     M, K = num_agents, num_landmarks
     return WorldSpec(
         n_agents=M, n_landmarks=K, dim_c=2, world_length=episode_length,

@@ -116,21 +116,22 @@ def evaluate(cfg, params, space, x: jax.Array, action: jax.Array,
 def evaluate_trpo(cfg, params, space, x, action, available_actions=None,
                   active_masks=None):
     """HATRPO variant: also returns (mu, std, all_probs)
-    (`act.py:180-235`). For Discrete, mu/std are the logits' softmax params
-    placeholder (None-like zeros) and all_probs the probabilities."""
+    (`act.py:180-235`). NOTE all_probs is the (masked) LOGITS vector for
+    discrete spaces — the reference appends `action_logit.logits`
+    (`act.py:207,224`) and its kl_approx consumes them as-is."""
     lp, ent = evaluate(cfg, params, space, x, action, available_actions,
                        active_masks)
     if isinstance(space, sp.Discrete):
         d = _dist(params, space, x, available_actions)
-        return lp, ent, None, None, d.probs
+        return lp, ent, None, None, d.logits
     if isinstance(space, sp.Box):
         d = _dist(params, space, x)
         return lp, ent, d.mean, d.std, None
     if isinstance(space, sp.MultiDiscrete):
-        probs = jnp.concatenate(
-            [D.Categorical.create(cm.linear_apply(params["heads"][i], x)).probs
+        logits = jnp.concatenate(
+            [D.Categorical.create(cm.linear_apply(params["heads"][i], x)).logits
              for i in range(len(space.nvec))], -1)
-        return lp, ent, None, None, probs
+        return lp, ent, None, None, logits
     raise TypeError(space)
 
 

@@ -114,6 +114,22 @@ class Actor:
                                        self.action_space, x, action,
                                        available_actions, active_masks)
 
+    def evaluate_trpo_seq(self, params, obs, rnn_states, action, masks,
+                          available_actions=None, active_masks=None):
+        """Sequence-layout TRPO evaluation: obs [L, B, ...] etc. Outputs
+        flattened to [L·B, ...] (the reference's trpo path works on flat
+        minibatch rows)."""
+        L, B = obs.shape[0], obs.shape[1]
+        x = self._features(params, obs.reshape(L * B, *obs.shape[2:]))
+        x = x.reshape(L, B, -1)
+        if self.cfg.is_recurrent:
+            x, _ = gru.sequence(self.cfg, params["rnn"], x, rnn_states, masks)
+        flat = lambda a: None if a is None else a.reshape(L * B, *a.shape[2:])
+        return act_layer.evaluate_trpo(
+            self.cfg, params["act"], self.action_space,
+            x.reshape(L * B, -1), flat(action), flat(available_actions),
+            flat(active_masks))
+
 
 class Critic:
     def __init__(self, cfg, cent_obs_space):

@@ -31,6 +31,7 @@ import numpy as np
 
 from onpolicy_tpu import buffer as buf_lib
 from onpolicy_tpu.algorithms.happo import HAPPO
+from onpolicy_tpu.algorithms.hatrpo import HATRPO
 from onpolicy_tpu.algorithms.mappo import MAPPO
 from onpolicy_tpu.envs.mpe import make_vec_env
 from onpolicy_tpu.utils import spaces as sp
@@ -45,7 +46,8 @@ class SeparatedRunner:
         self.N = self.envs.n_envs
         self.episodes = int(cfg.num_env_steps) // cfg.episode_length // self.N
 
-        Algo = HAPPO if cfg.algorithm_name in ("happo", "hatrpo") else MAPPO
+        Algo = {"happo": HAPPO, "hatrpo": HATRPO}.get(cfg.algorithm_name,
+                                                      MAPPO)
         self.algos: List[MAPPO] = []
         share_dim = sum(sp.obs_shape(s)[0]
                         for s in self.envs.observation_space)

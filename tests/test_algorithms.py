@@ -84,3 +84,20 @@ def test_happo_factor_changes_updates():
     assert max(jax.tree_util.tree_leaves(d)) > 0
     for k, v in m1["agent0"].items():
         assert np.isfinite(float(v)), k
+
+
+def test_hatrpo_trust_region():
+    """HATRPO: update must keep KL below threshold and improve surrogate
+    (or keep old params)."""
+    cfg = _cfg("hatrpo")
+    runner = SeparatedRunner(cfg)
+    states, carry = runner.init(jax.random.PRNGKey(0))
+    states, carry, m = runner._episode_fn(states, carry, jax.random.PRNGKey(1),
+                                          order=(0, 1, 2))
+    for i in range(3):
+        kl = float(m[f"agent{i}"]["kl"])
+        acc = float(m[f"agent{i}"]["accepted"])
+        assert np.isfinite(kl)
+        if acc > 0:
+            assert kl < cfg.kl_threshold
+            assert float(m[f"agent{i}"]["loss_improve"]) > 0
