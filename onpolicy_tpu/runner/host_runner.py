@@ -1,0 +1,237 @@
+"""Shared-policy runner for HOST-side envs (SMAC / SMACv2 / GRF / …).
+
+The pure-JAX runner (`shared_runner.py`) keeps envs on device; external
+simulators can't go there, so this runner implements the batched
+host-to-device ingestion path (SURVEY §5.8): per step, one device call
+computes actions for all envs·agents (jitted `get_actions`), the
+shared-memory env pool steps in parallel host processes, and per-step
+outputs are staged into preallocated numpy blocks. After T steps the
+whole rollout transfers to device ONCE and the jitted
+compute_returns + PPO update runs unchanged (same `RolloutBuffer`,
+same trainers as the on-device path).
+
+Mask semantics reproduce `runner/shared/smac_runner.py:129-151`:
+  dones_env = all-agents-done; masks[t+1]=0 on env termination;
+  active_masks zeroed per dead agent but re-set to 1 on env reset;
+  bad_masks from info["bad_transition"] (episode-limit truncation).
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onpolicy_tpu import buffer as buf_lib
+from onpolicy_tpu.algorithms.mappo import MAPPO
+from onpolicy_tpu.algorithms.mat import MAT
+from onpolicy_tpu.utils import spaces as sp
+
+
+class HostSharedRunner:
+    def __init__(self, cfg, vec_env, eval_env=None,
+                 env_metrics: Optional[Callable] = None):
+        cfg = cfg.validate()
+        self.cfg = cfg
+        self.envs = vec_env
+        self.eval_envs = eval_env
+        self.num_agents = M = vec_env.num_agents
+        self.N = vec_env.n_envs
+        self.env_metrics = env_metrics
+
+        obs_space = self._space(vec_env.observation_space)
+        share_space = self._space(vec_env.share_observation_space) \
+            if cfg.use_centralized_V else obs_space
+        self.act_space = self._space(vec_env.action_space)
+        self.has_avail = isinstance(self.act_space, sp.Discrete)
+
+        self.episodes = int(cfg.num_env_steps) // cfg.episode_length // self.N
+        if cfg.algorithm_name in ("mat", "mat_dec"):
+            self.algo = MAT(cfg, obs_space, share_space, self.act_space,
+                            total_updates=self.episodes, num_agents=M)
+        else:
+            self.algo = MAPPO(cfg, obs_space, share_space, self.act_space,
+                              total_updates=self.episodes)
+
+        self._act_fn = jax.jit(self.algo.get_actions)
+        self._act_det_fn = jax.jit(
+            lambda st, o, r, m, k, av: self.algo.act(
+                st, o, r, m, k, av, deterministic=True))
+        self._train_fn = jax.jit(self._compute_and_train)
+
+    @staticmethod
+    def _space(space):
+        """Accept a list of per-agent spaces (reference layout) or one."""
+        if isinstance(space, (list, tuple)):
+            space = space[0]
+        if not isinstance(space, (sp.Discrete, sp.Box, sp.MultiDiscrete,
+                                  sp.MultiBinary, sp.MixedSpace)):
+            space = sp.from_gym(space)
+        return space
+
+    # ------------------------------------------------------------------
+    def init(self, key):
+        train_state = self.algo.init_state(key)
+        out = self.envs.reset()
+        if len(out) == 3:
+            obs, share_obs, avail = out
+        else:
+            obs = out
+            share_obs = obs.reshape(self.N, 1, -1).repeat(self.num_agents, 1)
+            avail = None
+        if not self.cfg.use_centralized_V:
+            share_obs = obs
+        return train_state, {"obs": obs, "share_obs": share_obs,
+                             "avail": avail}
+
+    def _compute_and_train(self, train_state, buf, next_values, key):
+        cfg = self.cfg
+        buf = buf.compute_returns(
+            next_values, train_state.vnorm, gamma=cfg.gamma,
+            gae_lambda=cfg.gae_lambda, use_gae=cfg.use_gae,
+            use_proper_time_limits=cfg.use_proper_time_limits)
+        return self.algo.train(train_state, buf, key)
+
+    def run_episode(self, train_state, start, key):
+        """Collect T steps + train. Returns (train_state, start', metrics)."""
+        cfg = self.cfg
+        N, M, T = self.N, self.num_agents, cfg.episode_length
+        BA = N * M
+        flat = lambda x: np.asarray(x, np.float32).reshape(BA, *np.shape(x)[2:])
+
+        obs, share_obs, avail = start["obs"], start["share_obs"], start["avail"]
+        rnn_a = np.zeros((BA, cfg.recurrent_N, cfg.hidden_size), np.float32) \
+            if "rnn_a" not in start else start["rnn_a"]
+        rnn_c = np.zeros_like(rnn_a) if "rnn_c" not in start \
+            else start["rnn_c"]
+        masks = start.get("masks", np.ones((N, M, 1), np.float32))
+        active = start.get("active", np.ones((N, M, 1), np.float32))
+
+        stage = {k: [] for k in
+                 ("share_obs", "obs", "rnn_states", "rnn_states_critic",
+                  "actions", "action_log_probs", "value_preds", "rewards",
+                  "masks", "active_masks", "bad_masks", "available_actions")}
+        infos_tail = []
+        key_np = np.asarray(jax.random.split(key, T + 1))
+
+        for t in range(T):
+            values, actions, logp, rnn_a2, rnn_c2 = self._act_fn(
+                train_state, flat(share_obs), flat(obs), rnn_a, rnn_c,
+                flat(masks), key_np[t],
+                flat(avail) if avail is not None else None)
+            actions_np = np.asarray(actions).reshape(N, M, -1)
+
+            stage["share_obs"].append(np.asarray(share_obs, np.float32))
+            stage["obs"].append(np.asarray(obs, np.float32))
+            stage["rnn_states"].append(
+                np.asarray(rnn_a).reshape(N, M, cfg.recurrent_N, -1))
+            stage["rnn_states_critic"].append(
+                np.asarray(rnn_c).reshape(N, M, cfg.recurrent_N, -1))
+            stage["actions"].append(actions_np)
+            stage["action_log_probs"].append(
+                np.asarray(logp).reshape(N, M, -1))
+            stage["value_preds"].append(
+                np.asarray(values).reshape(N, M, 1))
+            stage["masks"].append(masks.copy())
+            stage["active_masks"].append(active.copy())
+            if avail is not None:
+                stage["available_actions"].append(
+                    np.asarray(avail, np.float32))
+
+            out = self.envs.step(actions_np)
+            if len(out) == 6:
+                obs, share_obs, rewards, dones, infos, avail = out
+            else:
+                obs, rewards, dones, infos = out
+                share_obs = obs.reshape(N, 1, -1).repeat(M, 1)
+                avail = None
+            if not self.cfg.use_centralized_V:
+                share_obs = obs
+            infos_tail = infos
+
+            dones = np.asarray(dones).reshape(N, M)
+            dones_env = dones.all(axis=1)
+            masks = np.ones((N, M, 1), np.float32)
+            masks[dones_env] = 0.0
+            active = np.ones((N, M, 1), np.float32)
+            active[dones] = 0.0
+            active[dones_env] = 1.0
+            bad = np.ones((N, M, 1), np.float32)
+            for n, info in enumerate(infos):
+                if isinstance(info, (list, tuple)):
+                    for m, im in enumerate(info):
+                        if isinstance(im, dict) and im.get("bad_transition"):
+                            bad[n, m] = 0.0
+                elif isinstance(info, dict) and info.get("bad_transition"):
+                    bad[n] = 0.0
+            stage["rewards"].append(np.asarray(rewards, np.float32
+                                               ).reshape(N, M, 1))
+            stage["bad_masks"].append(bad)
+            rnn_a, rnn_c = rnn_a2, rnn_c2
+            # zero recurrent state on env termination (smac_runner:129-137)
+            rnn_mask = masks.reshape(BA, 1, 1)
+            rnn_a = rnn_a * rnn_mask
+            rnn_c = rnn_c * rnn_mask
+
+        traj = {k: jnp.asarray(np.stack(v)) for k, v in stage.items() if v}
+        last = {
+            "share_obs": jnp.asarray(share_obs, jnp.float32),
+            "obs": jnp.asarray(obs, jnp.float32),
+            "rnn_states": jnp.asarray(np.asarray(rnn_a).reshape(
+                N, M, cfg.recurrent_N, -1)),
+            "rnn_states_critic": jnp.asarray(np.asarray(rnn_c).reshape(
+                N, M, cfg.recurrent_N, -1)),
+            "masks": jnp.asarray(masks),
+            "active_masks": jnp.asarray(active),
+        }
+        if avail is not None:
+            last["available_actions"] = jnp.asarray(avail, jnp.float32)
+        buf = buf_lib.from_rollout(traj, last)
+
+        critic_in = last["share_obs"] if self.algo.critic_reads == "share_obs" \
+            else last["obs"]
+        next_values = self.algo.get_values(
+            train_state, critic_in.reshape(BA, -1),
+            last["rnn_states_critic"].reshape(BA, cfg.recurrent_N, -1),
+            last["masks"].reshape(BA, 1)).reshape(N, M, 1)
+
+        train_state, metrics = self._train_fn(
+            train_state, buf, next_values, jnp.asarray(key_np[T]))
+        metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        metrics["average_step_rewards"] = float(np.mean(np.stack(
+            stage["rewards"])))
+        metrics["dead_ratio"] = 1.0 - float(
+            np.mean(np.stack(stage["active_masks"])))
+        if self.env_metrics is not None:
+            metrics.update(self.env_metrics(infos_tail))
+
+        start2 = {"obs": obs, "share_obs": share_obs, "avail": avail,
+                  "rnn_a": rnn_a, "rnn_c": rnn_c, "masks": masks,
+                  "active": active}
+        return train_state, start2, metrics
+
+    # ------------------------------------------------------------------
+    def run(self, key=None, log_fn=print):
+        cfg = self.cfg
+        key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+        key, k0 = jax.random.split(key)
+        train_state, start = self.init(k0)
+        t0 = time.perf_counter()
+        history = []
+        for ep in range(self.episodes):
+            key, k = jax.random.split(key)
+            train_state, start, metrics = self.run_episode(train_state,
+                                                           start, k)
+            if ep % cfg.log_interval == 0 or ep == self.episodes - 1:
+                steps = (ep + 1) * cfg.episode_length * self.N
+                row = {"episode": ep, "steps": steps,
+                       "fps": steps / (time.perf_counter() - t0), **metrics}
+                history.append(row)
+                if log_fn is print:
+                    print(f"ep {ep} steps {steps} fps {row['fps']:,.0f} "
+                          f"step_rew {row['average_step_rewards']:.3f}")
+                elif log_fn is not None:
+                    log_fn(row)
+        return train_state, history

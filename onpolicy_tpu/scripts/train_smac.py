@@ -1,0 +1,93 @@
+"""SMAC / SMACv2 training entry point.
+
+Parity with `/root/reference/onpolicy/scripts/train/train_smac.py`:
+env ids StarCraft2 / StarCraft2v2 (and aliases SMAC / SMACv2),
+num_agents from the map registry, SMACv2 capability-distribution
+builder, win-rate metrics. Envs run in the shared-memory host pool
+feeding the jitted trainer.
+
+    python -m onpolicy_tpu.scripts.train_smac --env_name StarCraft2 \
+        --map_name 3s5z --algorithm_name rmappo --n_rollout_threads 8 \
+        --episode_length 400 --num_env_steps 10000000
+"""
+from __future__ import annotations
+
+import sys
+from types import SimpleNamespace
+
+import jax
+
+from onpolicy_tpu.config import get_config, Config, canonicalize_algorithm
+from onpolicy_tpu.envs.host_vec import DummyVecEnv, HostVecEnv
+from onpolicy_tpu.envs.starcraft2.smac_maps import get_map_params
+from onpolicy_tpu.runner.host_runner import HostSharedRunner
+from onpolicy_tpu.utils.run_dir import make_run_dir, MetricsLogger
+
+
+def parse_args(argv):
+    p = get_config()
+    p.add_argument("--map_name", type=str, default="3s5z")
+    p.add_argument("--units", type=str, default="10v10",
+                   help="SMACv2 ally-v-enemy unit counts, e.g. 10v11")
+    p.add_argument("--add_center_xy", nargs="?", const=True, default=True)
+    p.add_argument("--use_state_agent", nargs="?", const=True, default=True)
+    ns = p.parse_args(argv)
+    return ns
+
+
+def make_env_fns(ns, cfg, n, base_seed):
+    is_v2 = ns.env_name in ("StarCraft2v2", "SMACv2")
+    if is_v2:
+        from onpolicy_tpu.envs.starcraft2.distributions import \
+            parse_smacv2_distribution
+        from onpolicy_tpu.envs.starcraft2.smacv2_env import SMACv2Env
+        dist = parse_smacv2_distribution(
+            SimpleNamespace(units=ns.units, map_name=ns.map_name))
+
+        def fn(rank):
+            return lambda: SMACv2Env(ns.map_name, dist,
+                                     seed=base_seed + rank * 1000)
+    else:
+        from onpolicy_tpu.envs.starcraft2.smac_env import SMACEnv
+        state_type = "agent" if ns.use_state_agent else "env"
+
+        def fn(rank):
+            return lambda: SMACEnv(ns.map_name,
+                                   seed=base_seed + rank * 1000,
+                                   state_type=state_type)
+    return [fn(i) for i in range(n)]
+
+
+def main(argv=None):
+    ns = parse_args(argv if argv is not None else sys.argv[1:])
+    overrides = {k: v for k, v in vars(ns).items()
+                 if k in Config.__dataclass_fields__}
+    if ns.env_name not in ("StarCraft2", "StarCraft2v2", "SMAC", "SMACv2"):
+        overrides["env_name"] = "StarCraft2"
+    if ns.env_name in ("StarCraft2", "SMAC"):
+        overrides["num_agents"] = get_map_params(ns.map_name)["n_agents"]
+    else:
+        overrides["num_agents"] = int(ns.units.split("v")[0])
+    overrides["scenario_name"] = ns.map_name
+    cfg = canonicalize_algorithm(Config(**overrides)).validate()
+
+    env_fns = make_env_fns(ns, cfg, cfg.n_rollout_threads, cfg.seed)
+    Pool = DummyVecEnv if cfg.n_rollout_threads == 1 else HostVecEnv
+    envs = Pool(env_fns, protocol="share")
+
+    from onpolicy_tpu.envs.starcraft2.smac_env import smac_win_rate_metrics
+    runner = HostSharedRunner(cfg, envs,
+                              env_metrics=smac_win_rate_metrics())
+    run_dir = make_run_dir(cfg)
+    logger = MetricsLogger(run_dir, cfg)
+    try:
+        state, history = runner.run(jax.random.PRNGKey(cfg.seed),
+                                    log_fn=logger)
+    finally:
+        envs.close()
+        logger.close()
+    return state, history
+
+
+if __name__ == "__main__":
+    main()

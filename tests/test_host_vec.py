@@ -1,0 +1,123 @@
+"""Host ingestion path tests: shared-memory vec env pool protocols and
+the host runner end-to-end on a mock SMAC-style env."""
+import numpy as np
+import pytest
+
+import jax
+
+from onpolicy_tpu.config import config_from_args
+from onpolicy_tpu.envs.host_vec import DummyVecEnv, HostVecEnv
+from onpolicy_tpu.runner.host_runner import HostSharedRunner
+from onpolicy_tpu.utils import spaces as sp
+
+
+class MockSmacEnv:
+    """Tiny deterministic 6-tuple-protocol env: M agents, obs encodes a
+    counter; episode length 6; agent 0 'dies' at t>=3; bad_transition on
+    truncation; reward = action value."""
+
+    M, OBS, STATE, NACT, LIMIT = 3, 8, 12, 5, 6
+
+    def __init__(self, seed=0):
+        self.num_agents = self.M
+        self.observation_space = [sp.Box((self.OBS,))] * self.M
+        self.share_observation_space = [sp.Box((self.STATE,))] * self.M
+        self.action_space = [sp.Discrete(self.NACT)] * self.M
+        self.t = 0
+        self.seed_val = seed
+
+    def _out(self):
+        obs = np.full((self.M, self.OBS), float(self.t), np.float32)
+        state = np.full((self.M, self.STATE), float(self.t), np.float32)
+        avail = np.ones((self.M, self.NACT), np.float32)
+        avail[:, -1] = 0.0          # last action always unavailable
+        return obs, state, avail
+
+    def reset(self):
+        self.t = 0
+        return self._out()
+
+    def step(self, actions):
+        self.t += 1
+        obs, state, avail = self._out()
+        rewards = np.asarray(actions, np.float32).reshape(self.M, 1).copy()
+        dones = np.zeros(self.M, bool)
+        if self.t >= 3:
+            dones[0] = True          # agent death
+        infos = [{} for _ in range(self.M)]
+        if self.t >= self.LIMIT:
+            dones[:] = True
+            for im in infos:
+                im["bad_transition"] = True
+        return obs, state, rewards, dones, infos, avail
+
+    def close(self):
+        pass
+
+
+@pytest.mark.parametrize("cls", [DummyVecEnv, HostVecEnv])
+def test_share_protocol_roundtrip(cls):
+    env = cls([lambda s=i: MockSmacEnv(s) for i in range(4)],
+              protocol="share")
+    try:
+        obs, state, avail = env.reset()
+        assert obs.shape == (4, 3, 8)
+        assert state.shape == (4, 3, 12)
+        assert avail.shape == (4, 3, 5)
+        actions = np.ones((4, 3, 1))
+        for t in range(1, 7):
+            obs, state, rew, dones, infos, avail = env.step(actions)
+            if t < 6:
+                assert obs[0, 0, 0] == t
+                np.testing.assert_array_equal(rew, np.ones((4, 3, 1)))
+                assert dones[0, 0] == (t >= 3)
+            else:
+                # auto-reset: obs from fresh episode, dones all True
+                assert obs[0, 0, 0] == 0
+                assert dones.all()
+                assert infos[0][0]["bad_transition"]
+    finally:
+        env.close()
+
+
+def test_choose_protocol_masked_reset():
+    env = HostVecEnv([lambda s=i: MockSmacEnv(s) for i in range(3)],
+                     protocol="choose")
+    try:
+        env.reset()
+        actions = np.zeros((3, 3, 1))
+        for _ in range(6):
+            obs, *_ = env.step(actions)
+        assert obs[0, 0, 0] == 6      # NO auto-reset
+        mask = np.array([True, False, True])
+        obs2, _, _ = env.reset(mask)
+        assert obs2[0, 0, 0] == 0     # reset
+        assert obs2[1, 0, 0] == 6     # untouched
+        assert obs2[2, 0, 0] == 0
+    finally:
+        env.close()
+
+
+@pytest.mark.parametrize("algo", ["mappo", "rmappo"])
+def test_host_runner_end_to_end(algo):
+    cfg = config_from_args([
+        "--algorithm_name", algo, "--episode_length", "10",
+        "--n_rollout_threads", "4", "--num_env_steps", "80",
+        "--ppo_epoch", "2", "--hidden_size", "32",
+        "--data_chunk_length", "5",
+        "--use_eval", "false",
+    ])
+    env = DummyVecEnv([lambda s=i: MockSmacEnv(s) for i in range(4)],
+                      protocol="share")
+    try:
+        runner = HostSharedRunner(cfg, env)
+        ts, hist = runner.run(jax.random.PRNGKey(0), log_fn=None)
+        assert len(hist) >= 1
+        row = hist[-1]
+        assert np.isfinite(row["value_loss"])
+        # masked action (last) must never be selected
+        # reward == action index; mean reward must be < NACT-1
+        assert 0 <= row["average_step_rewards"] <= MockSmacEnv.NACT - 2
+        assert 0.0 <= row["dead_ratio"] <= 1.0
+    finally:
+        env.close()
