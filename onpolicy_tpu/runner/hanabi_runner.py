@@ -1,0 +1,293 @@
+"""Turn-based Hanabi runner (shared policy).
+
+Re-derivation of `/root/reference/onpolicy/runner/shared/
+hanabi_runner_forward.py`: one buffer step = one full seat round; per
+seat, only envs with available actions act (the rest no-op with −1);
+rewards accrue to a seat from the moment it acts until its next action
+(`turn_rewards_since_last_action`, :175-201); envs finishing mid-round
+zero the remaining seats' staging and mark a masked reset; buffer writes
+use choose-insert slotting (obs at t, masks at t+1) and TRAINING IS
+DEFERRED one buffer step — at step 0 of the next episode the tail slot
+is patched with the fresh round, rewards shift one step, and the jitted
+GAE+PPO update runs (:52-67).
+
+Policy inference always runs on the full [N] batch (static shapes — the
+reference slices `choose` rows, which would retrigger XLA compilation
+per distinct count); non-chosen rows are discarded.
+
+The env is the batched native engine (`HanabiVecEnv`) — one FFI call per
+seat for the whole fleet, no subprocesses.
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onpolicy_tpu import buffer as buf_lib
+from onpolicy_tpu.algorithms.mappo import MAPPO
+from onpolicy_tpu.envs.hanabi.hanabi_env import HanabiVecEnv
+from onpolicy_tpu.utils import spaces as sp
+
+
+class HanabiRunner:
+    def __init__(self, cfg, vec_env: Optional[HanabiVecEnv] = None,
+                 eval_env: Optional[HanabiVecEnv] = None):
+        cfg = cfg.validate()
+        self.cfg = cfg
+        self.envs = vec_env if vec_env is not None else HanabiVecEnv(
+            cfg.scenario_name if cfg.scenario_name.startswith("Hanabi")
+            else "Hanabi-Small", cfg.num_agents, cfg.n_rollout_threads,
+            seed=cfg.seed,
+            use_obs_instead_of_state=cfg.use_obs_instead_of_state)
+        self.eval_envs = eval_env
+        self.num_agents = M = self.envs.num_agents
+        self.N = self.envs.n_envs
+        obs_space = self.envs.observation_space[0]
+        share_space = self.envs.share_observation_space[0] \
+            if cfg.use_centralized_V else obs_space
+        self.act_space = self.envs.action_space[0]
+        self.episodes = int(cfg.num_env_steps) // cfg.episode_length // self.N
+        self.algo = MAPPO(cfg, obs_space, share_space, self.act_space,
+                          total_updates=self.episodes)
+        self._act_fn = jax.jit(self.algo.get_actions)
+        self._act_det = jax.jit(lambda st, o, r, m, k, av: self.algo.act(
+            st, o, r, m, k, av, deterministic=True))
+        self._train_fn = jax.jit(self._compute_and_train)
+        self.true_total_num_steps = 0
+
+    # ------------------------------------------------------------------
+    def _alloc_buffer(self):
+        cfg, N, M, T = self.cfg, self.N, self.num_agents, \
+            self.cfg.episode_length
+        Do = self.envs.obs_dim
+        Ds = self.envs.share_dim if cfg.use_centralized_V else Do
+        A = self.envs.n_moves
+        L, H = cfg.recurrent_N, cfg.hidden_size
+        z = lambda *s: np.zeros(s, np.float32)
+        return {
+            "share_obs": z(T + 1, N, M, Ds), "obs": z(T + 1, N, M, Do),
+            "rnn_states": z(T + 1, N, M, L, H),
+            "rnn_states_critic": z(T + 1, N, M, L, H),
+            "actions": z(T, N, M, 1), "action_log_probs": z(T, N, M, 1),
+            "value_preds": z(T + 1, N, M, 1), "rewards": z(T, N, M, 1),
+            "masks": np.ones((T + 1, N, M, 1), np.float32),
+            "bad_masks": np.ones((T + 1, N, M, 1), np.float32),
+            "active_masks": np.ones((T + 1, N, M, 1), np.float32),
+            "available_actions": np.ones((T + 1, N, M, A), np.float32),
+        }
+
+    def _compute_and_train(self, train_state, buf, key):
+        cfg = self.cfg
+        BA = self.N * self.num_agents
+        next_values = self.algo.get_values(
+            train_state, buf.share_obs[-1].reshape(BA, -1),
+            buf.rnn_states_critic[-1].reshape(BA, cfg.recurrent_N, -1),
+            buf.masks[-1].reshape(BA, 1)).reshape(self.N, self.num_agents, 1)
+        buf = buf.compute_returns(
+            next_values, train_state.vnorm, gamma=cfg.gamma,
+            gae_lambda=cfg.gae_lambda, use_gae=cfg.use_gae,
+            use_proper_time_limits=cfg.use_proper_time_limits)
+        return self.algo.train(train_state, buf, key)
+
+    def _train_from_numpy(self, train_state, bufnp, key):
+        buf = buf_lib.RolloutBuffer(
+            **{k: jnp.asarray(v) for k, v in bufnp.items()})
+        return self._train_fn(train_state, buf, key)
+
+    # ------------------------------------------------------------------
+    def run(self, key=None, log_fn=print):
+        cfg = self.cfg
+        N, M, T = self.N, self.num_agents, cfg.episode_length
+        L, H = cfg.recurrent_N, cfg.hidden_size
+        key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+
+        obs, share_obs, avail, cur = self.envs.reset()
+        if not cfg.use_centralized_V:
+            share_obs = obs
+        use_obs, use_share, use_avail = obs.copy(), share_obs.copy(), \
+            avail.copy()
+
+        turn = {
+            "obs": np.zeros((N, M, obs.shape[-1]), np.float32),
+            "share_obs": np.zeros((N, M, share_obs.shape[-1]), np.float32),
+            "avail": np.zeros((N, M, avail.shape[-1]), np.float32),
+            "values": np.zeros((N, M, 1), np.float32),
+            "actions": np.zeros((N, M, 1), np.float32),
+            "logp": np.zeros((N, M, 1), np.float32),
+            "rnn": np.zeros((N, M, L, H), np.float32),
+            "rnn_critic": np.zeros((N, M, L, H), np.float32),
+            "masks": np.ones((N, M, 1), np.float32),
+            "active": np.ones((N, M, 1), np.float32),
+            "rewards": np.zeros((N, M, 1), np.float32),
+            "accum": np.zeros((N, M, 1), np.float32),
+        }
+        bufnp = self._alloc_buffer()
+        train_state = self.algo.init_state(jax.random.fold_in(key, 0))
+        scores = []
+        history = []
+        metrics = {}
+        start = time.perf_counter()
+
+        for episode in range(self.episodes):
+            ep_scores = []
+            for step in range(T):
+                reset_choose = np.zeros(N, bool)
+                # ---- one seat round (collect, :138-220) --------------
+                for seat in range(M):
+                    env_actions = np.full(N, -1, np.int64)
+                    choose = np.any(use_avail == 1, axis=1)
+                    if not choose.any():
+                        reset_choose[:] = True
+                        break
+                    key, k_act = jax.random.split(key)
+                    values, actions, logp, rnn, rnn_c = self._act_fn(
+                        train_state, use_share, use_obs,
+                        turn["rnn"][:, seat], turn["rnn_critic"][:, seat],
+                        turn["masks"][:, seat], k_act, use_avail)
+                    values, actions, logp, rnn, rnn_c = map(
+                        np.asarray, (values, actions, logp, rnn, rnn_c))
+
+                    turn["obs"][choose, seat] = use_obs[choose]
+                    turn["share_obs"][choose, seat] = use_share[choose]
+                    turn["avail"][choose, seat] = use_avail[choose]
+                    turn["values"][choose, seat] = values[choose]
+                    turn["actions"][choose, seat] = actions[choose]
+                    turn["logp"][choose, seat] = logp[choose]
+                    turn["rnn"][choose, seat] = rnn[choose]
+                    turn["rnn_critic"][choose, seat] = rnn_c[choose]
+                    env_actions[choose] = actions[choose, 0].astype(np.int64)
+
+                    obs, share_obs, rewards, done, cur, avail, score = \
+                        self.envs.step(env_actions)
+                    if not cfg.use_centralized_V:
+                        share_obs = obs
+                    self.true_total_num_steps += int(choose.sum())
+                    use_obs, use_share, use_avail = obs, share_obs, avail
+
+                    # reward accrual since each seat's last action
+                    turn["rewards"][choose, seat] = \
+                        turn["accum"][choose, seat]
+                    turn["accum"][choose, seat] = 0.0
+                    turn["accum"][choose] += rewards[choose]
+
+                    newly_done = done & choose
+                    if newly_done.any():
+                        nd = newly_done
+                        reset_choose[nd] = True
+                        use_avail[nd] = 0.0
+                        turn["masks"][nd] = 0.0
+                        turn["rnn"][nd] = 0.0
+                        turn["rnn_critic"][nd] = 0.0
+                        turn["active"][nd, seat] = 1.0
+                        if seat + 1 < M:
+                            turn["active"][nd, seat + 1:] = 0.0
+                            turn["rewards"][nd, seat + 1:] = \
+                                turn["accum"][nd, seat + 1:]
+                            turn["accum"][nd, seat + 1:] = 0.0
+                            turn["values"][nd, seat + 1:] = 0.0
+                            turn["obs"][nd, seat + 1:] = 0.0
+                            turn["share_obs"][nd, seat + 1:] = 0.0
+                        ep_scores.extend(score[nd].tolist())
+                    not_done = (~done) & choose
+                    turn["masks"][not_done, seat] = 1.0
+                    turn["active"][not_done, seat] = 1.0
+
+                # ---- deferred train (:52-67) -------------------------
+                if step == 0 and episode > 0:
+                    bufnp["share_obs"][-1] = turn["share_obs"]
+                    bufnp["obs"][-1] = turn["obs"]
+                    bufnp["available_actions"][-1] = turn["avail"]
+                    bufnp["active_masks"][-1] = turn["active"]
+                    bufnp["rewards"][:T - 1] = bufnp["rewards"][1:]
+                    bufnp["rewards"][-1] = turn["rewards"]
+                    key, k_train = jax.random.split(key)
+                    train_state, m = self._train_from_numpy(
+                        train_state, bufnp, k_train)
+                    metrics = {k: float(v)
+                               for k, v in jax.device_get(m).items()}
+                    metrics["average_step_rewards"] = float(
+                        np.mean(bufnp["rewards"]))
+
+                # ---- choose-insert (shared_buffer.py:125-158) --------
+                bufnp["share_obs"][step] = turn["share_obs"]
+                bufnp["obs"][step] = turn["obs"]
+                bufnp["rnn_states"][step + 1] = turn["rnn"]
+                bufnp["rnn_states_critic"][step + 1] = turn["rnn_critic"]
+                bufnp["actions"][step] = turn["actions"]
+                bufnp["action_log_probs"][step] = turn["logp"]
+                bufnp["value_preds"][step] = turn["values"]
+                bufnp["rewards"][step] = turn["rewards"]
+                bufnp["masks"][step + 1] = turn["masks"]
+                bufnp["active_masks"][step] = turn["active"]
+                bufnp["available_actions"][step] = turn["avail"]
+
+                # ---- masked env reset --------------------------------
+                if reset_choose.any():
+                    obs, share_obs, avail, cur = self.envs.reset(reset_choose)
+                    if not cfg.use_centralized_V:
+                        share_obs = obs
+                    use_obs[reset_choose] = obs[reset_choose]
+                    use_share[reset_choose] = share_obs[reset_choose]
+                    use_avail[reset_choose] = avail[reset_choose]
+                    turn["masks"][reset_choose] = 1.0
+
+            scores.extend(ep_scores)
+            if (episode % cfg.log_interval == 0 and episode > 0) \
+                    or episode == self.episodes - 1:
+                steps_total = (episode + 1) * T * self.N
+                row = {"episode": episode, "steps": steps_total,
+                       "true_steps": self.true_total_num_steps,
+                       "fps": steps_total / (time.perf_counter() - start),
+                       "average_score": float(np.mean(ep_scores))
+                       if ep_scores else 0.0, **metrics}
+                history.append(row)
+                if log_fn is print:
+                    print(f"ep {episode} steps {steps_total} "
+                          f"score {row['average_score']:.2f}")
+                elif log_fn is not None:
+                    log_fn(row)
+        return train_state, history
+
+    # ------------------------------------------------------------------
+    def evaluate(self, train_state, n_games: int, key=None,
+                 env: Optional[HanabiVecEnv] = None):
+        """Deterministic evaluation until `n_games` finish; returns mean
+        score (`eval` / `eval_100k`, hanabi_runner_forward.py:228-329)."""
+        cfg = self.cfg
+        env = env or self.envs
+        key = key if key is not None else jax.random.PRNGKey(cfg.seed + 5)
+        N, M = env.n_envs, self.num_agents
+        obs, share, avail, cur = env.reset()
+        rnn = np.zeros((N, cfg.recurrent_N, cfg.hidden_size), np.float32)
+        masks = np.ones((N, 1), np.float32)
+        scores = []
+        guard = 0
+        while len(scores) < n_games and guard < 100000:
+            guard += 1
+            choose = np.any(avail == 1, axis=1)
+            if not choose.any():
+                obs, share, avail, cur = env.reset()
+                rnn[:] = 0
+                continue
+            key, k = jax.random.split(key)
+            actions, rnn_out = self._act_det(train_state, obs, rnn, masks, k,
+                                             avail)
+            actions = np.asarray(actions)
+            rnn = np.array(rnn_out)  # writable copy (jax buffers are RO)
+            env_actions = np.full(N, -1, np.int64)
+            env_actions[choose] = actions[choose, 0].astype(np.int64)
+            obs, share, rewards, done, cur, avail, score = env.step(
+                env_actions)
+            newly = done & choose
+            if newly.any():
+                scores.extend(score[newly].tolist())
+                reset_mask = newly
+                o2, s2, a2, _ = env.reset(reset_mask)
+                obs[reset_mask] = o2[reset_mask]
+                avail[reset_mask] = a2[reset_mask]
+                rnn[reset_mask] = 0.0
+        return float(np.mean(scores[:n_games])) if scores else 0.0

@@ -33,6 +33,7 @@ from onpolicy_tpu.algorithms.mappo import MAPPO
 from onpolicy_tpu.algorithms.mat import MAT
 from onpolicy_tpu.envs.mpe import make_vec_env
 from onpolicy_tpu.parallel import mesh as mesh_lib
+from onpolicy_tpu.utils import checkpoint as ckpt_lib
 from onpolicy_tpu.utils import spaces as sp
 
 
@@ -76,6 +77,9 @@ class SharedRunner:
         """→ (train_state, carry) — carry is the rollout collection state."""
         k_model, k_env = jax.random.split(key)
         train_state = self.algo.init_state(k_model)
+        if self.cfg.model_dir:
+            restored, _, _ = ckpt_lib.restore(self.cfg.model_dir, train_state)
+            train_state = jax.tree_util.tree_map(jnp.asarray, restored)
         env_states, obs = self.envs.reset(k_env)
         carry = self._fresh_carry(env_states, obs)
         if len(self.mesh.devices.flat) > 1:
@@ -205,7 +209,8 @@ class SharedRunner:
         return jnp.mean(jnp.sum(rewards, axis=0))  # per-episode return
 
     # ---- host training loop ------------------------------------------
-    def run(self, key: Optional[jax.Array] = None, log_fn=print):
+    def run(self, key: Optional[jax.Array] = None, log_fn=print,
+            save_dir=None):
         cfg = self.cfg
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
         key, k_init = jax.random.split(key)
@@ -217,6 +222,9 @@ class SharedRunner:
             key, k_ep = jax.random.split(key)
             train_state, carry, metrics = self._episode_fn(
                 train_state, carry, k_ep)
+            if save_dir and (episode % max(cfg.save_interval, 1) == 0
+                             or episode == self.episodes - 1):
+                ckpt_lib.save(save_dir, train_state, step=episode, key=key)
             if episode % cfg.log_interval == 0 or episode == self.episodes - 1:
                 metrics = jax.device_get(metrics)
                 total_steps = (episode + 1) * cfg.episode_length * self.N

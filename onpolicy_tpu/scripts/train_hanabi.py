@@ -1,0 +1,44 @@
+"""Hanabi training entry point (turn-based, native batched engine).
+
+Parity with `/root/reference/onpolicy/scripts/train/
+train_hanabi_forward.py` (flags --hanabi_name --num_agents; Choose-style
+env family) — the env pool is the in-process C++ batched engine.
+"""
+from __future__ import annotations
+
+import sys
+
+import jax
+
+from onpolicy_tpu.config import get_config, Config, canonicalize_algorithm
+from onpolicy_tpu.runner.hanabi_runner import HanabiRunner
+from onpolicy_tpu.utils.run_dir import make_run_dir, MetricsLogger
+
+
+def parse_args(argv):
+    p = get_config()
+    p.add_argument("--hanabi_name", type=str, default="Hanabi-Small")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    ns = parse_args(argv if argv is not None else sys.argv[1:])
+    overrides = {k: v for k, v in vars(ns).items()
+                 if k in Config.__dataclass_fields__}
+    overrides["env_name"] = "Hanabi"
+    overrides["scenario_name"] = ns.hanabi_name
+    cfg = canonicalize_algorithm(Config(**overrides)).validate()
+
+    runner = HanabiRunner(cfg)
+    run_dir = make_run_dir(cfg)
+    logger = MetricsLogger(run_dir, cfg)
+    try:
+        state, history = runner.run(jax.random.PRNGKey(cfg.seed),
+                                    log_fn=logger)
+    finally:
+        logger.close()
+    return state, history, runner
+
+
+if __name__ == "__main__":
+    main()

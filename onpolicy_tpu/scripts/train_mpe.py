@@ -33,7 +33,10 @@ def main(argv=None):
     logger = MetricsLogger(run_dir, cfg)
     runner = Runner(cfg)
     key = jax.random.PRNGKey(cfg.seed)
-    state, history = runner.run(key, log_fn=logger)
+    kwargs = {}
+    if cfg.share_policy:
+        kwargs["save_dir"] = run_dir / "models"
+    state, history = runner.run(key, log_fn=logger, **kwargs)
     logger.close()
     return state, history
 

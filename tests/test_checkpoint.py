@@ -1,0 +1,50 @@
+"""Checkpoint round-trip: full TrainState (params + optimizer + vnorm)
+must restore exactly and resume producing identical updates."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from onpolicy_tpu.config import config_from_args
+from onpolicy_tpu.runner.shared_runner import SharedRunner
+from onpolicy_tpu.utils import checkpoint as ckpt
+
+
+def test_roundtrip_exact(tmp_path):
+    cfg = config_from_args([
+        "--algorithm_name", "mappo", "--scenario_name", "simple_spread",
+        "--n_rollout_threads", "4", "--episode_length", "10",
+        "--num_env_steps", "400", "--ppo_epoch", "2", "--hidden_size", "32",
+    ])
+    runner = SharedRunner(cfg)
+    ts, carry = runner.init(jax.random.PRNGKey(0))
+    ts, carry, _ = runner._episode_fn(ts, carry, jax.random.PRNGKey(1))
+
+    key = jax.random.PRNGKey(7)
+    ckpt.save(tmp_path, ts, step=3, key=key)
+    template = runner.algo.init_state(jax.random.PRNGKey(99))
+    restored, step, rkey = ckpt.restore(tmp_path, template, key=key)
+    assert step == 3
+    np.testing.assert_array_equal(np.asarray(rkey), np.asarray(key))
+
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(ts)),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resuming produces identical updates to never having checkpointed
+    restored_dev = jax.tree_util.tree_map(jnp.asarray, restored)
+    ts1, _, m1 = runner._episode_fn(ts, carry, jax.random.PRNGKey(2))
+    ts2, _, m2 = runner._episode_fn(restored_dev, carry,
+                                    jax.random.PRNGKey(2))
+    for a, b in zip(jax.tree_util.tree_leaves(ts1.actor_params),
+                    jax.tree_util.tree_leaves(ts2.actor_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_latest_pointer(tmp_path):
+    cfg = config_from_args(["--hidden_size", "32", "--episode_length", "10",
+                            "--n_rollout_threads", "4"])
+    runner = SharedRunner(cfg)
+    ts, _ = runner.init(jax.random.PRNGKey(0))
+    ckpt.save(tmp_path, ts, step=1)
+    ckpt.save(tmp_path, ts, step=5)
+    assert ckpt.latest_path(tmp_path).name == "ckpt_5.msgpack"
