@@ -21,8 +21,8 @@ import jax
 NORTH_STAR_STEPS_PER_S = 1_000_000.0
 
 
-def bench(n_envs: int = 1024, episode_length: int = 25,
-          warmup_episodes: int = 2, measure_episodes: int = 10) -> dict:
+def bench(n_envs: int = 16384, episode_length: int = 25,
+          warmup_episodes: int = 3, measure_episodes: int = 10) -> dict:
     from onpolicy_tpu.config import config_from_args
     from onpolicy_tpu.runner.shared_runner import SharedRunner
 

@@ -213,6 +213,56 @@ class HostSharedRunner:
         return train_state, start2, metrics
 
     # ------------------------------------------------------------------
+    def evaluate(self, train_state, key=None, eval_episodes=None):
+        """Deterministic evaluation on `eval_envs` until `eval_episodes`
+        episodes complete; returns eval_win_rate + mean episode rewards
+        (`smac_runner.eval`, :161-223)."""
+        cfg = self.cfg
+        env = self.eval_envs or self.envs
+        N, M = env.n_envs, self.num_agents
+        BA = N * M
+        eval_episodes = eval_episodes or cfg.eval_episodes
+        key = key if key is not None else jax.random.PRNGKey(cfg.seed + 50000)
+        out = env.reset()
+        obs, _, avail = out if len(out) == 3 else (out, None, None)
+        rnn = np.zeros((BA, cfg.recurrent_N, cfg.hidden_size), np.float32)
+        masks = np.ones((BA, 1), np.float32)
+        flat = lambda x: np.asarray(x, np.float32).reshape(
+            BA, *np.shape(x)[2:])
+        wins, ep_rewards, acc = [], [], np.zeros(N)
+        guard = 0
+        while len(ep_rewards) < eval_episodes and guard < 100000:
+            guard += 1
+            key, k = jax.random.split(key)
+            actions, rnn_out = self._act_det_fn(
+                train_state, flat(obs), rnn, masks, k,
+                flat(avail) if avail is not None else None)
+            rnn = np.array(rnn_out)
+            out = env.step(np.asarray(actions).reshape(N, M, -1))
+            if len(out) == 6:
+                obs, _, rewards, dones, infos, avail = out
+            else:
+                obs, rewards, dones, infos = out
+                avail = None
+            acc += np.asarray(rewards).reshape(N, M).mean(-1)
+            dones = np.asarray(dones).reshape(N, M)
+            done_env = dones.all(axis=1)
+            masks = np.repeat(1.0 - done_env[:, None].astype(np.float32),
+                              M, axis=0).reshape(BA, 1)
+            rnn[np.repeat(done_env, M)] = 0.0
+            for n in np.nonzero(done_env)[0]:
+                ep_rewards.append(acc[n])
+                acc[n] = 0.0
+                info = infos[n][0] if isinstance(infos[n], (list, tuple)) \
+                    else infos[n]
+                if isinstance(info, dict) and "won" in info:
+                    wins.append(1.0 if info["won"] else 0.0)
+        result = {"eval_average_episode_rewards":
+                  float(np.mean(ep_rewards)) if ep_rewards else 0.0}
+        if wins:
+            result["eval_win_rate"] = float(np.mean(wins))
+        return result
+
     def run(self, key=None, log_fn=print):
         cfg = self.cfg
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
@@ -224,6 +274,9 @@ class HostSharedRunner:
             key, k = jax.random.split(key)
             train_state, start, metrics = self.run_episode(train_state,
                                                            start, k)
+            if cfg.use_eval and self.eval_envs is not None                     and ep % cfg.eval_interval == 0:
+                key, k_ev = jax.random.split(key)
+                metrics.update(self.evaluate(train_state, k_ev))
             if ep % cfg.log_interval == 0 or ep == self.episodes - 1:
                 steps = (ep + 1) * cfg.episode_length * self.N
                 row = {"episode": ep, "steps": steps,

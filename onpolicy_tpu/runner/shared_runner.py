@@ -34,6 +34,7 @@ from onpolicy_tpu.algorithms.mat import MAT
 from onpolicy_tpu.envs.mpe import make_vec_env
 from onpolicy_tpu.parallel import mesh as mesh_lib
 from onpolicy_tpu.utils import checkpoint as ckpt_lib
+from onpolicy_tpu.utils import profiling
 from onpolicy_tpu.utils import spaces as sp
 
 
@@ -220,8 +221,13 @@ class SharedRunner:
         history = []
         for episode in range(self.episodes):
             key, k_ep = jax.random.split(key)
-            train_state, carry, metrics = self._episode_fn(
-                train_state, carry, k_ep)
+            # capture one profiler trace on the 3rd episode (post-compile)
+            with profiling.trace(cfg.profile_dir,
+                                 enabled=(episode == 2
+                                          and cfg.profile_dir is not None)):
+                train_state, carry, metrics = self._episode_fn(
+                    train_state, carry, k_ep)
+                jax.block_until_ready(metrics["value_loss"])
             if save_dir and (episode % max(cfg.save_interval, 1) == 0
                              or episode == self.episodes - 1):
                 ckpt_lib.save(save_dir, train_state, step=episode, key=key)

@@ -31,7 +31,12 @@ def main(argv=None):
 
     run_dir = make_run_dir(cfg)
     logger = MetricsLogger(run_dir, cfg)
-    runner = Runner(cfg)
+    if cfg.use_eval and cfg.share_policy:
+        from onpolicy_tpu.envs.mpe import make_vec_env
+        eval_env = make_vec_env(cfg, n_envs=cfg.n_eval_rollout_threads)
+        runner = Runner(cfg, eval_env=eval_env)
+    else:
+        runner = Runner(cfg)
     key = jax.random.PRNGKey(cfg.seed)
     kwargs = {}
     if cfg.share_policy:
