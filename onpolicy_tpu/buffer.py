@@ -218,18 +218,25 @@ def recurrent_minibatches(buf: RolloutBuffer, advantages: jax.Array,
         d["factor"] = factor
     T, N, M = buf.T, buf.n_rollout_threads, buf.num_agents
     L = data_chunk_length
-    assert T % L == 0, f"episode_length {T} % data_chunk_length {L} != 0"
-    n_chunks = T * N * M // L
-    assert n_chunks % num_mini_batch == 0
+    # Chunking follows the reference exactly: episodes are laid out
+    # env-major ([N,M,T] order, `_cast`) and the FLAT N·M·T stream is cut
+    # into L-step windows, dropping the remainder (`data_chunks =
+    # batch_size // L`, shared_buffer.py:524). When T % L != 0 (e.g. the
+    # paper's spread config: T=25, L=10) chunks CROSS episode boundaries
+    # — a reference quirk preserved for parity (mask gating limits the
+    # leakage to the rare boundary chunks).
+    n_chunks = (T * N * M) // L
+    assert n_chunks % num_mini_batch == 0, (
+        f"{n_chunks} chunks not divisible by num_mini_batch "
+        f"{num_mini_batch}")
     mb = n_chunks // num_mini_batch
     perm = jax.random.permutation(key, n_chunks)
     idx = perm.reshape(num_mini_batch, mb)
 
     def to_chunks(x):
-        # [T,N,M,...] → [N,M,T,...] → [N·M·(T/L), L, ...]
-        y = jnp.moveaxis(x, 0, 2)
-        y = y.reshape(N * M * (T // L), L, *x.shape[3:])
-        return y
+        # [T,N,M,...] → [N,M,T,...] → flat stream → [n_chunks, L, ...]
+        y = jnp.moveaxis(x, 0, 2).reshape(N * M * T, *x.shape[3:])
+        return y[:n_chunks * L].reshape(n_chunks, L, *x.shape[3:])
 
     out = {}
     for k, x in d.items():

@@ -138,12 +138,6 @@ class Config:
             raise ValueError(
                 f"episode_length*n_rollout_threads={total_batch} not divisible "
                 f"by num_mini_batch={self.num_mini_batch}")
-        if self.use_recurrent_policy \
-                and self.episode_length % self.data_chunk_length != 0:
-            raise ValueError(
-                f"episode_length={self.episode_length} must be divisible by "
-                f"data_chunk_length={self.data_chunk_length} for chunked "
-                "recurrent training")
         return self
 
     @property

@@ -1,0 +1,234 @@
+"""Separated-policy runner for HOST envs (HAPPO/HATRPO on SMAC et al.).
+
+Combines the host ingestion path (`host_runner.py`) with the per-agent
+policies + HAPPO sequential factor update of the device separated runner
+(`separated_runner.py`); parity target is the reference's
+`runner/separated/smac_runner.py` + `separated/base_runner.py:135-183`.
+
+Agents must share obs/action dims (the SMAC case); each still has its
+own parameters, optimizer, and normalizer. Collection runs one jitted
+per-agent forward pass per step; the update slices each agent's
+singleton-agent buffer view and runs the (HA)PPO/TRPO trainers with the
+running factor, agent order re-drawn on host each episode.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onpolicy_tpu import buffer as buf_lib
+from onpolicy_tpu.algorithms.happo import HAPPO
+from onpolicy_tpu.algorithms.hatrpo import HATRPO
+from onpolicy_tpu.algorithms.mappo import MAPPO
+from onpolicy_tpu.utils import spaces as sp
+
+
+class HostSeparatedRunner:
+    def __init__(self, cfg, vec_env, env_metrics: Optional[Callable] = None):
+        cfg = cfg.validate()
+        self.cfg = cfg
+        self.envs = vec_env
+        self.num_agents = M = vec_env.num_agents
+        self.N = vec_env.n_envs
+        self.env_metrics = env_metrics
+        self.episodes = int(cfg.num_env_steps) // cfg.episode_length // self.N
+
+        def spc(s):
+            s = s[0] if isinstance(s, (list, tuple)) else s
+            return s if isinstance(s, (sp.Discrete, sp.Box, sp.MultiDiscrete,
+                                       sp.MultiBinary)) else sp.from_gym(s)
+        obs_space = spc(vec_env.observation_space)
+        share_space = spc(vec_env.share_observation_space) \
+            if cfg.use_centralized_V else obs_space
+        self.act_space = spc(vec_env.action_space)
+        Algo = {"happo": HAPPO, "hatrpo": HATRPO}.get(cfg.algorithm_name,
+                                                      MAPPO)
+        self.algos: List[MAPPO] = [
+            Algo(cfg, obs_space, share_space, self.act_space,
+                 total_updates=self.episodes) for _ in range(M)]
+        self.is_happo = cfg.algorithm_name in ("happo", "hatrpo")
+
+        self._act_fn = jax.jit(self._act_all)
+        self._train_cache = {}
+
+    # ---- jitted per-agent forward over the whole fleet ---------------
+    def _act_all(self, states, share_obs, obs, rnn_a, rnn_c, masks, key,
+                 avail):
+        """All arrays [N, M, ...] → stacked per-agent outputs."""
+        keys = jax.random.split(key, self.num_agents)
+        vals, acts, lps, ras, rcs = [], [], [], [], []
+        for i, algo in enumerate(self.algos):
+            av = avail[:, i] if avail is not None else None
+            v, a, lp, ra, rc = algo.get_actions(
+                states[i], share_obs[:, i], obs[:, i], rnn_a[:, i],
+                rnn_c[:, i], masks[:, i], keys[i], av)
+            vals.append(v); acts.append(a); lps.append(lp)
+            ras.append(ra); rcs.append(rc)
+        st = lambda xs: jnp.stack(xs, axis=1)
+        return st(vals), st(acts), st(lps), st(ras), st(rcs)
+
+    def _train(self, order, states, buf, key):
+        """Sequential per-agent update with the HAPPO factor."""
+        if (order, True) not in self._train_cache:
+            def fn(states, buf, key):
+                cfg = self.cfg
+                N, T = self.N, cfg.episode_length
+                states = list(states)
+                metrics = {}
+                tkeys = jax.random.split(key, self.num_agents)
+                factor = jnp.ones((T, N, 1, 1))
+                for i in order:
+                    buf_i = jax.tree_util.tree_map(
+                        lambda x: x[:, :, i:i + 1]
+                        if x is not None and x.ndim >= 3 else x, buf)
+                    next_v = buf_i.value_preds[-1]
+                    if self.is_happo:
+                        old = self.algos[i].evaluate_full_logp(states[i],
+                                                               buf_i)
+                        states[i], m = self.algos[i].train(
+                            states[i], buf_i, tkeys[i], factor=factor)
+                        new = self.algos[i].evaluate_full_logp(states[i],
+                                                               buf_i)
+                        factor = factor * jnp.exp(
+                            jnp.sum(new - old, axis=-1, keepdims=True))
+                    else:
+                        states[i], m = self.algos[i].train(states[i], buf_i,
+                                                           tkeys[i])
+                    metrics[f"agent{i}"] = m
+                return tuple(states), metrics
+            self._train_cache[(order, True)] = jax.jit(fn)
+        return self._train_cache[(order, True)](states, buf, key)
+
+    # ------------------------------------------------------------------
+    def run_episode(self, states, start, key, order):
+        cfg = self.cfg
+        N, M, T = self.N, self.num_agents, cfg.episode_length
+        obs, share_obs, avail = start["obs"], start["share_obs"], \
+            start["avail"]
+        rnn_a = start.get("rnn_a", np.zeros(
+            (N, M, cfg.recurrent_N, cfg.hidden_size), np.float32))
+        rnn_c = start.get("rnn_c", np.zeros_like(rnn_a))
+        masks = start.get("masks", np.ones((N, M, 1), np.float32))
+        active = start.get("active", np.ones((N, M, 1), np.float32))
+
+        stage = {k: [] for k in
+                 ("share_obs", "obs", "rnn_states", "rnn_states_critic",
+                  "actions", "action_log_probs", "value_preds", "rewards",
+                  "masks", "active_masks", "bad_masks", "available_actions")}
+        infos_tail = []
+        keys = np.asarray(jax.random.split(key, T + 2))
+        for t in range(T):
+            values, actions, logp, rnn_a2, rnn_c2 = self._act_fn(
+                states, jnp.asarray(share_obs), jnp.asarray(obs),
+                jnp.asarray(rnn_a), jnp.asarray(rnn_c), jnp.asarray(masks),
+                keys[t], jnp.asarray(avail) if avail is not None else None)
+            actions_np = np.asarray(actions)
+            stage["share_obs"].append(np.asarray(share_obs, np.float32))
+            stage["obs"].append(np.asarray(obs, np.float32))
+            stage["rnn_states"].append(rnn_a.copy())
+            stage["rnn_states_critic"].append(rnn_c.copy())
+            stage["actions"].append(actions_np)
+            stage["action_log_probs"].append(np.asarray(logp))
+            stage["value_preds"].append(np.asarray(values))
+            stage["masks"].append(masks.copy())
+            stage["active_masks"].append(active.copy())
+            if avail is not None:
+                stage["available_actions"].append(
+                    np.asarray(avail, np.float32))
+
+            out = self.envs.step(actions_np)
+            obs, share_obs, rewards, dones, infos, avail = out
+            if not cfg.use_centralized_V:
+                share_obs = obs
+            infos_tail = infos
+            dones = np.asarray(dones).reshape(N, M)
+            dones_env = dones.all(axis=1)
+            masks = np.ones((N, M, 1), np.float32)
+            masks[dones_env] = 0.0
+            active = np.ones((N, M, 1), np.float32)
+            active[dones] = 0.0
+            active[dones_env] = 1.0
+            bad = np.ones((N, M, 1), np.float32)
+            for n, info in enumerate(infos):
+                im = info[0] if isinstance(info, (list, tuple)) else info
+                if isinstance(im, dict) and im.get("bad_transition"):
+                    bad[n] = 0.0
+            stage["rewards"].append(np.asarray(rewards, np.float32
+                                               ).reshape(N, M, 1))
+            stage["bad_masks"].append(bad)
+            rnn_a = np.array(rnn_a2) * masks[..., None]
+            rnn_c = np.array(rnn_c2) * masks[..., None]
+
+        traj = {k: jnp.asarray(np.stack(v)) for k, v in stage.items() if v}
+        last = {
+            "share_obs": jnp.asarray(share_obs, jnp.float32),
+            "obs": jnp.asarray(obs, jnp.float32),
+            "rnn_states": jnp.asarray(rnn_a),
+            "rnn_states_critic": jnp.asarray(rnn_c),
+            "masks": jnp.asarray(masks),
+            "active_masks": jnp.asarray(active),
+        }
+        if avail is not None:
+            last["available_actions"] = jnp.asarray(avail, jnp.float32)
+        buf = buf_lib.from_rollout(traj, last)
+
+        # per-agent bootstrap + GAE over the full [T,N,M] buffer
+        next_vals = []
+        for i, algo in enumerate(self.algos):
+            nv = algo.get_values(states[i], last["share_obs"][:, i],
+                                 last["rnn_states_critic"][:, i],
+                                 last["masks"][:, i])
+            next_vals.append(nv)
+        buf = buf.compute_returns(
+            jnp.stack(next_vals, axis=1), states[0].vnorm, gamma=cfg.gamma,
+            gae_lambda=cfg.gae_lambda, use_gae=cfg.use_gae,
+            use_proper_time_limits=cfg.use_proper_time_limits)
+
+        states, metrics = self._train(order, states, buf, keys[T + 1])
+        metrics = jax.device_get(metrics)
+        flat = {"average_step_rewards":
+                float(np.mean(np.stack(stage["rewards"])))}
+        for i in range(M):
+            for k, v in metrics[f"agent{i}"].items():
+                flat[f"agent{i}/{k}"] = float(v)
+        if self.env_metrics is not None:
+            flat.update(self.env_metrics(infos_tail))
+        start2 = {"obs": obs, "share_obs": share_obs, "avail": avail,
+                  "rnn_a": rnn_a, "rnn_c": rnn_c, "masks": masks,
+                  "active": active}
+        return states, start2, flat
+
+    def run(self, key=None, log_fn=print):
+        cfg = self.cfg
+        key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+        key, k0 = jax.random.split(key)
+        states = tuple(a.init_state(jax.random.fold_in(k0, i))
+                       for i, a in enumerate(self.algos))
+        out = self.envs.reset()
+        obs, share_obs, avail = out
+        if not cfg.use_centralized_V:
+            share_obs = obs
+        start = {"obs": obs, "share_obs": share_obs, "avail": avail}
+        rng = np.random.default_rng(cfg.seed)
+        t0 = time.perf_counter()
+        history = []
+        for ep in range(self.episodes):
+            key, k = jax.random.split(key)
+            order = tuple(int(x) for x in rng.permutation(self.num_agents)) \
+                if self.is_happo else tuple(range(self.num_agents))
+            states, start, metrics = self.run_episode(states, start, k, order)
+            if ep % cfg.log_interval == 0 or ep == self.episodes - 1:
+                steps = (ep + 1) * cfg.episode_length * self.N
+                row = {"episode": ep, "steps": steps,
+                       "fps": steps / (time.perf_counter() - t0), **metrics}
+                history.append(row)
+                if log_fn is print:
+                    print(f"ep {ep} steps {steps} "
+                          f"rew {row['average_step_rewards']:.3f}")
+                elif log_fn is not None:
+                    log_fn(row)
+        return states, history

@@ -76,8 +76,13 @@ def main(argv=None):
     envs = Pool(env_fns, protocol="share")
 
     from onpolicy_tpu.envs.starcraft2.smac_env import smac_win_rate_metrics
-    runner = HostSharedRunner(cfg, envs,
-                              env_metrics=smac_win_rate_metrics())
+    if cfg.algorithm_name in ("happo", "hatrpo"):
+        from onpolicy_tpu.runner.host_separated_runner import             HostSeparatedRunner
+        runner = HostSeparatedRunner(cfg, envs,
+                                     env_metrics=smac_win_rate_metrics())
+    else:
+        runner = HostSharedRunner(cfg, envs,
+                                  env_metrics=smac_win_rate_metrics())
     run_dir = make_run_dir(cfg)
     logger = MetricsLogger(run_dir, cfg)
     try:

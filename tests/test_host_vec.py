@@ -121,3 +121,21 @@ def test_host_runner_end_to_end(algo):
         assert 0.0 <= row["dead_ratio"] <= 1.0
     finally:
         env.close()
+
+
+def test_host_separated_happo():
+    from onpolicy_tpu.runner.host_separated_runner import HostSeparatedRunner
+    cfg = config_from_args([
+        "--algorithm_name", "happo", "--episode_length", "10",
+        "--data_chunk_length", "5", "--n_rollout_threads", "4",
+        "--num_env_steps", "80", "--ppo_epoch", "2", "--hidden_size", "32",
+    ])
+    env = DummyVecEnv([lambda s=i: MockSmacEnv(s) for i in range(4)],
+                      protocol="share")
+    try:
+        runner = HostSeparatedRunner(cfg, env)
+        states, hist = runner.run(jax.random.PRNGKey(0), log_fn=None)
+        assert np.isfinite(hist[-1]["agent0/value_loss"])
+        assert np.isfinite(hist[-1]["agent2/policy_loss"])
+    finally:
+        env.close()
