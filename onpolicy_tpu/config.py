@@ -122,6 +122,8 @@ class Config:
     param_dtype: str = "float32"
     env_device: str = "auto"             # 'device' (pure-JAX env) | 'host'
     profile_dir: Optional[str] = None    # jax.profiler trace destination
+    episodes_per_call: int = 1           # chain E episodes per device call
+                                         # (amortizes dispatch latency)
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

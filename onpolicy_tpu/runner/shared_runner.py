@@ -71,6 +71,23 @@ class SharedRunner:
 
         self.mesh = mesh_lib.make_mesh(cfg.mesh_shape)
         self._episode_fn = jax.jit(self._episode)
+        # chained variant: scan E episodes inside ONE device call,
+        # amortizing per-dispatch latency (significant through remote
+        # tunnels); metrics are averaged over the chain.
+        E = max(cfg.episodes_per_call, 1)
+        if E > 1:
+            def multi(train_state, carry, key):
+                def body(c, k):
+                    ts, cr = c
+                    ts, cr, m = self._episode(ts, cr, k)
+                    return (ts, cr), m
+                (ts, cr), ms = jax.lax.scan(
+                    body, (train_state, carry), jax.random.split(key, E))
+                return ts, cr, jax.tree_util.tree_map(
+                    lambda x: jnp.mean(x, axis=0), ms)
+            self._multi_episode_fn = jax.jit(multi)
+        else:
+            self._multi_episode_fn = self._episode_fn
         self._eval_fn = jax.jit(self._eval_episode) if eval_env else None
 
     # ------------------------------------------------------------------
@@ -178,6 +195,10 @@ class SharedRunner:
         train_state, metrics = self.algo.train(train_state, buf, k_train)
         metrics["average_episode_rewards"] = (
             jnp.mean(buf.rewards) * cfg.episode_length)
+        # per-agent means (`individual_rewards`, mpe_runner.py:62-75)
+        per_agent = jnp.mean(buf.rewards, axis=(0, 1, 3))
+        for i in range(M):
+            metrics[f"agent{i}/individual_rewards"] = per_agent[i]
         return train_state, carry2, metrics
 
     # ---- evaluation (jitted) -----------------------------------------
@@ -219,21 +240,23 @@ class SharedRunner:
 
         start = time.perf_counter()
         history = []
-        for episode in range(self.episodes):
+        E = max(cfg.episodes_per_call, 1)
+        for episode in range(0, self.episodes, E):
             key, k_ep = jax.random.split(key)
-            # capture one profiler trace on the 3rd episode (post-compile)
-            with profiling.trace(cfg.profile_dir,
-                                 enabled=(episode == 2
-                                          and cfg.profile_dir is not None)):
-                train_state, carry, metrics = self._episode_fn(
+            trace_now = (cfg.profile_dir is not None and 2 <= episode < 2 + E)
+            # capture one profiler trace on a post-compile episode
+            with profiling.trace(cfg.profile_dir, enabled=trace_now):
+                train_state, carry, metrics = self._multi_episode_fn(
                     train_state, carry, k_ep)
-                jax.block_until_ready(metrics["value_loss"])
-            if save_dir and (episode % max(cfg.save_interval, 1) == 0
-                             or episode == self.episodes - 1):
+                if trace_now:
+                    jax.block_until_ready(metrics["value_loss"])
+            if save_dir and (episode % max(cfg.save_interval, 1) < E
+                             or episode + E >= self.episodes):
                 ckpt_lib.save(save_dir, train_state, step=episode, key=key)
-            if episode % cfg.log_interval == 0 or episode == self.episodes - 1:
+            if episode % cfg.log_interval < E or episode + E >= self.episodes:
                 metrics = jax.device_get(metrics)
-                total_steps = (episode + 1) * cfg.episode_length * self.N
+                total_steps = min(episode + E, self.episodes) \
+                    * cfg.episode_length * self.N
                 fps = total_steps / (time.perf_counter() - start)
                 row = {"episode": episode, "steps": total_steps,
                        "fps": fps, **{k: float(v) for k, v in metrics.items()}}
