@@ -30,6 +30,7 @@ import numpy as np
 from onpolicy_tpu import buffer as buf_lib
 from onpolicy_tpu.algorithms.mappo import MAPPO
 from onpolicy_tpu.envs.hanabi.hanabi_env import HanabiVecEnv
+from onpolicy_tpu.utils import checkpoint as ckpt_lib
 from onpolicy_tpu.utils import spaces as sp
 
 
@@ -99,7 +100,7 @@ class HanabiRunner:
         return self._train_fn(train_state, buf, key)
 
     # ------------------------------------------------------------------
-    def run(self, key=None, log_fn=print):
+    def run(self, key=None, log_fn=print, save_dir=None):
         cfg = self.cfg
         N, M, T = self.N, self.num_agents, cfg.episode_length
         L, H = cfg.recurrent_N, cfg.hidden_size
@@ -236,6 +237,9 @@ class HanabiRunner:
                     turn["masks"][reset_choose] = 1.0
 
             scores.extend(ep_scores)
+            if save_dir and (episode % max(cfg.save_interval, 1) == 0
+                             or episode == self.episodes - 1):
+                ckpt_lib.save(save_dir, train_state, step=episode, key=key)
             if (episode % cfg.log_interval == 0 and episode > 0) \
                     or episode == self.episodes - 1:
                 steps_total = (episode + 1) * T * self.N

@@ -27,6 +27,7 @@ import numpy as np
 from onpolicy_tpu import buffer as buf_lib
 from onpolicy_tpu.algorithms.mappo import MAPPO
 from onpolicy_tpu.algorithms.mat import MAT
+from onpolicy_tpu.utils import checkpoint as ckpt_lib
 from onpolicy_tpu.utils import spaces as sp
 
 
@@ -74,6 +75,9 @@ class HostSharedRunner:
     # ------------------------------------------------------------------
     def init(self, key):
         train_state = self.algo.init_state(key)
+        if self.cfg.model_dir:
+            restored, _, _ = ckpt_lib.restore(self.cfg.model_dir, train_state)
+            train_state = jax.tree_util.tree_map(jnp.asarray, restored)
         out = self.envs.reset()
         if len(out) == 3:
             obs, share_obs, avail = out
@@ -263,7 +267,7 @@ class HostSharedRunner:
             result["eval_win_rate"] = float(np.mean(wins))
         return result
 
-    def run(self, key=None, log_fn=print):
+    def run(self, key=None, log_fn=print, save_dir=None):
         cfg = self.cfg
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
         key, k0 = jax.random.split(key)
@@ -274,6 +278,9 @@ class HostSharedRunner:
             key, k = jax.random.split(key)
             train_state, start, metrics = self.run_episode(train_state,
                                                            start, k)
+            if save_dir and (ep % max(cfg.save_interval, 1) == 0
+                             or ep == self.episodes - 1):
+                ckpt_lib.save(save_dir, train_state, step=ep, key=key)
             if cfg.use_eval and self.eval_envs is not None                     and ep % cfg.eval_interval == 0:
                 key, k_ev = jax.random.split(key)
                 metrics.update(self.evaluate(train_state, k_ev))

@@ -34,6 +34,7 @@ from onpolicy_tpu.algorithms.happo import HAPPO
 from onpolicy_tpu.algorithms.hatrpo import HATRPO
 from onpolicy_tpu.algorithms.mappo import MAPPO
 from onpolicy_tpu.envs.mpe import make_vec_env
+from onpolicy_tpu.utils import checkpoint as ckpt_lib
 from onpolicy_tpu.utils import spaces as sp
 
 
@@ -65,6 +66,9 @@ class SeparatedRunner:
     def init(self, key: jax.Array):
         keys = jax.random.split(key, self.num_agents + 1)
         states = tuple(a.init_state(k) for a, k in zip(self.algos, keys[:-1]))
+        if self.cfg.model_dir:
+            restored, _, _ = ckpt_lib.restore(self.cfg.model_dir, states)
+            states = jax.tree_util.tree_map(jnp.asarray, restored)
         env_states, obs = self.envs.reset(keys[-1])
         N, L, H = self.N, self.cfg.recurrent_N, self.cfg.hidden_size
         carry = {
@@ -188,7 +192,8 @@ class SeparatedRunner:
         return self._episode_cache[order](states, carry, key)
 
     # ---- host loop ----------------------------------------------------
-    def run(self, key: Optional[jax.Array] = None, log_fn=print):
+    def run(self, key: Optional[jax.Array] = None, log_fn=print,
+            save_dir=None):
         cfg = self.cfg
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
         key, k_init = jax.random.split(key)
@@ -203,6 +208,9 @@ class SeparatedRunner:
                 else None
             states, carry, metrics = self._episode_fn(states, carry, k_ep,
                                                       order)
+            if save_dir and (episode % max(cfg.save_interval, 1) == 0
+                             or episode == self.episodes - 1):
+                ckpt_lib.save(save_dir, states, step=episode, key=key)
             if episode % cfg.log_interval == 0 or episode == self.episodes - 1:
                 metrics = jax.device_get(metrics)
                 total_steps = (episode + 1) * cfg.episode_length * self.N
