@@ -127,6 +127,12 @@ class HostSharedRunner:
                 flat(avail) if avail is not None else None)
             actions_np = np.asarray(actions).reshape(N, M, -1)
 
+            # double-buffering: kick the env pool immediately, stage the
+            # step's inputs while workers simulate (host_vec step_async)
+            async_pool = hasattr(self.envs, "step_async")
+            if async_pool:
+                self.envs.step_async(actions_np)
+
             stage["share_obs"].append(np.asarray(share_obs, np.float32))
             stage["obs"].append(np.asarray(obs, np.float32))
             stage["rnn_states"].append(
@@ -144,7 +150,8 @@ class HostSharedRunner:
                 stage["available_actions"].append(
                     np.asarray(avail, np.float32))
 
-            out = self.envs.step(actions_np)
+            out = self.envs.step_wait() if async_pool \
+                else self.envs.step(actions_np)
             if len(out) == 6:
                 obs, share_obs, rewards, dones, infos, avail = out
             else:
