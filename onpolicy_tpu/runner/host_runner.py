@@ -112,6 +112,7 @@ class HostSharedRunner:
             else start["rnn_c"]
         masks = start.get("masks", np.ones((N, M, 1), np.float32))
         active = start.get("active", np.ones((N, M, 1), np.float32))
+        bad = start.get("bad", np.ones((N, M, 1), np.float32))
 
         stage = {k: [] for k in
                  ("share_obs", "obs", "rnn_states", "rnn_states_critic",
@@ -146,6 +147,7 @@ class HostSharedRunner:
                 np.asarray(values).reshape(N, M, 1))
             stage["masks"].append(masks.copy())
             stage["active_masks"].append(active.copy())
+            stage["bad_masks"].append(bad.copy())
             if avail is not None:
                 stage["available_actions"].append(
                     np.asarray(avail, np.float32))
@@ -179,7 +181,6 @@ class HostSharedRunner:
                     bad[n] = 0.0
             stage["rewards"].append(np.asarray(rewards, np.float32
                                                ).reshape(N, M, 1))
-            stage["bad_masks"].append(bad)
             rnn_a, rnn_c = rnn_a2, rnn_c2
             # zero recurrent state on env termination (smac_runner:129-137)
             rnn_mask = masks.reshape(BA, 1, 1)
@@ -196,6 +197,7 @@ class HostSharedRunner:
                 N, M, cfg.recurrent_N, -1)),
             "masks": jnp.asarray(masks),
             "active_masks": jnp.asarray(active),
+            "bad_masks": jnp.asarray(bad),
         }
         if avail is not None:
             last["available_actions"] = jnp.asarray(avail, jnp.float32)
@@ -220,7 +222,7 @@ class HostSharedRunner:
 
         start2 = {"obs": obs, "share_obs": share_obs, "avail": avail,
                   "rnn_a": rnn_a, "rnn_c": rnn_c, "masks": masks,
-                  "active": active}
+                  "active": active, "bad": bad}
         return train_state, start2, metrics
 
     # ------------------------------------------------------------------

@@ -114,6 +114,7 @@ class HostSeparatedRunner:
         rnn_c = start.get("rnn_c", np.zeros_like(rnn_a))
         masks = start.get("masks", np.ones((N, M, 1), np.float32))
         active = start.get("active", np.ones((N, M, 1), np.float32))
+        bad = start.get("bad", np.ones((N, M, 1), np.float32))
 
         stage = {k: [] for k in
                  ("share_obs", "obs", "rnn_states", "rnn_states_critic",
@@ -136,6 +137,7 @@ class HostSeparatedRunner:
             stage["value_preds"].append(np.asarray(values))
             stage["masks"].append(masks.copy())
             stage["active_masks"].append(active.copy())
+            stage["bad_masks"].append(bad.copy())
             if avail is not None:
                 stage["available_actions"].append(
                     np.asarray(avail, np.float32))
@@ -159,7 +161,6 @@ class HostSeparatedRunner:
                     bad[n] = 0.0
             stage["rewards"].append(np.asarray(rewards, np.float32
                                                ).reshape(N, M, 1))
-            stage["bad_masks"].append(bad)
             rnn_a = np.array(rnn_a2) * masks[..., None]
             rnn_c = np.array(rnn_c2) * masks[..., None]
 
@@ -171,6 +172,7 @@ class HostSeparatedRunner:
             "rnn_states_critic": jnp.asarray(rnn_c),
             "masks": jnp.asarray(masks),
             "active_masks": jnp.asarray(active),
+            "bad_masks": jnp.asarray(bad),
         }
         if avail is not None:
             last["available_actions"] = jnp.asarray(avail, jnp.float32)
@@ -199,7 +201,7 @@ class HostSeparatedRunner:
             flat.update(self.env_metrics(infos_tail))
         start2 = {"obs": obs, "share_obs": share_obs, "avail": avail,
                   "rnn_a": rnn_a, "rnn_c": rnn_c, "masks": masks,
-                  "active": active}
+                  "active": active, "bad": bad}
         return states, start2, flat
 
     def run(self, key=None, log_fn=print):

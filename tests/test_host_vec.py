@@ -139,3 +139,39 @@ def test_host_separated_happo():
         assert np.isfinite(hist[-1]["agent2/policy_loss"])
     finally:
         env.close()
+
+
+def test_bad_masks_slotting():
+    """Truncation flags must land at slot t+1 (insert semantics): with the
+    mock env truncating at its LIMIT-th step, the buffer row following the
+    truncating transition must be 0."""
+    from onpolicy_tpu import buffer as bl
+    import jax.numpy as jnp
+
+    cfg = config_from_args([
+        "--algorithm_name", "mappo", "--episode_length", "12",
+        "--n_rollout_threads", "2", "--num_env_steps", "24",
+        "--ppo_epoch", "1", "--hidden_size", "32",
+        "--use_proper_time_limits",
+    ])
+    env = DummyVecEnv([lambda s=i: MockSmacEnv(s) for i in range(2)],
+                      protocol="share")
+    captured = {}
+    try:
+        runner = HostSharedRunner(cfg, env)
+        orig = runner._train_fn
+
+        def spy(ts, buf, nv, key):
+            captured["buf"] = buf
+            return orig(ts, buf, nv, key)
+        runner._train_fn = spy
+        runner.run(jax.random.PRNGKey(0), log_fn=None)
+    finally:
+        env.close()
+    bad = np.asarray(captured["buf"].bad_masks)[:, 0, 0, 0]
+    # env truncates at its 6th step (t index 5) → slot 6 must be 0
+    assert bad[6] == 0.0, bad
+    assert bad[5] == 1.0, bad
+    # masks mirror: slot 6 = 0 (episode boundary)
+    masks = np.asarray(captured["buf"].masks)[:, 0, 0, 0]
+    assert masks[6] == 0.0 and masks[5] == 1.0
