@@ -79,11 +79,12 @@ class HostSharedRunner:
             restored, _, _ = ckpt_lib.restore(self.cfg.model_dir, train_state)
             train_state = jax.tree_util.tree_map(jnp.asarray, restored)
         out = self.envs.reset()
-        if len(out) == 3:
+        if isinstance(out, tuple) and len(out) == 3:
             obs, share_obs, avail = out
         else:
-            obs = out
-            share_obs = obs.reshape(self.N, 1, -1).repeat(self.num_agents, 1)
+            obs = np.asarray(out)
+            share_obs = np.tile(obs.reshape(self.N, 1, -1),
+                                (1, self.num_agents, 1))
             avail = None
         if not self.cfg.use_centralized_V:
             share_obs = obs
@@ -158,7 +159,7 @@ class HostSharedRunner:
                 obs, share_obs, rewards, dones, infos, avail = out
             else:
                 obs, rewards, dones, infos = out
-                share_obs = obs.reshape(N, 1, -1).repeat(M, 1)
+                share_obs = np.tile(obs.reshape(N, 1, -1), (1, M, 1))
                 avail = None
             if not self.cfg.use_centralized_V:
                 share_obs = obs
@@ -237,7 +238,10 @@ class HostSharedRunner:
         eval_episodes = eval_episodes or cfg.eval_episodes
         key = key if key is not None else jax.random.PRNGKey(cfg.seed + 50000)
         out = env.reset()
-        obs, _, avail = out if len(out) == 3 else (out, None, None)
+        if isinstance(out, tuple) and len(out) == 3:
+            obs, _, avail = out
+        else:
+            obs, avail = np.asarray(out), None
         rnn = np.zeros((BA, cfg.recurrent_N, cfg.hidden_size), np.float32)
         masks = np.ones((BA, 1), np.float32)
         flat = lambda x: np.asarray(x, np.float32).reshape(

@@ -85,7 +85,6 @@ class HostSeparatedRunner:
                     buf_i = jax.tree_util.tree_map(
                         lambda x: x[:, :, i:i + 1]
                         if x is not None and x.ndim >= 3 else x, buf)
-                    next_v = buf_i.value_preds[-1]
                     if self.is_happo:
                         old = self.algos[i].evaluate_full_logp(states[i],
                                                                buf_i)

@@ -175,3 +175,49 @@ def test_bad_masks_slotting():
     # masks mirror: slot 6 = 0 (episode boundary)
     masks = np.asarray(captured["buf"].masks)[:, 0, 0, 0]
     assert masks[6] == 0.0 and masks[5] == 1.0
+
+
+class MockFootballEnv:
+    """4-tuple 'basic' protocol env (GRF-style: fully observed, scalar
+    done, shared reward)."""
+
+    M, OBS = 2, 6
+
+    def __init__(self, seed=0):
+        self.num_agents = self.M
+        self.observation_space = [sp.Box((self.OBS,))] * self.M
+        self.share_observation_space = [sp.Box((self.OBS * self.M,))] * self.M
+        self.action_space = [sp.Discrete(4)] * self.M
+        self.t = 0
+
+    def reset(self):
+        self.t = 0
+        return np.full((self.M, self.OBS), 0.0, np.float32)
+
+    def step(self, actions):
+        self.t += 1
+        obs = np.full((self.M, self.OBS), float(self.t), np.float32)
+        rew = np.full((self.M, 1), 0.5, np.float32)
+        done = self.t >= 5
+        dones = np.full(self.M, done)
+        return obs, rew, dones, [{"score_reward": 1 if done else 0}] * self.M
+
+    def close(self):
+        pass
+
+
+def test_host_runner_basic_protocol():
+    cfg = config_from_args([
+        "--algorithm_name", "mappo", "--episode_length", "10",
+        "--n_rollout_threads", "2", "--num_env_steps", "40",
+        "--ppo_epoch", "1", "--hidden_size", "32",
+    ])
+    env = DummyVecEnv([lambda s=i: MockFootballEnv(s) for i in range(2)],
+                      protocol="basic")
+    try:
+        runner = HostSharedRunner(cfg, env)
+        ts, hist = runner.run(jax.random.PRNGKey(0), log_fn=None)
+        assert np.isfinite(hist[-1]["value_loss"])
+        assert abs(hist[-1]["average_step_rewards"] - 0.5) < 1e-5
+    finally:
+        env.close()
