@@ -33,7 +33,9 @@ class MATTrainState:
 
 
 class MAT:
-    critic_reads = "obs"
+    @property
+    def critic_reads(self):
+        return "share_obs" if self.cfg.encode_state else "obs"
 
     def __init__(self, cfg, obs_space, share_obs_space, act_space,
                  total_updates: int = 1, num_agents: int = None):
@@ -48,9 +50,10 @@ class MAT:
         else:
             raise TypeError(f"MAT supports Discrete/Box, got {act_space}")
         self.act_space = act_space
+        self.share_obs_dim = sp.obs_shape(share_obs_space)[0]
         self.mcfg = tfm.MATConfig(
             self.num_agents, action_dim, cfg.n_block, cfg.n_embd, cfg.n_head,
-            action_type, cfg.dec_actor, cfg.share_actor)
+            action_type, cfg.dec_actor, cfg.share_actor, cfg.encode_state)
 
         def lr():
             if cfg.use_linear_lr_decay:
@@ -63,10 +66,12 @@ class MAT:
             cfg.use_max_grad_norm)
 
     def init_state(self, key: jax.Array) -> MATTrainState:
+        enc_dim = self.share_obs_dim if self.cfg.encode_state \
+            else self.obs_dim
         params = tfm.mat_init(
             key, self.obs_dim, self.mcfg.action_dim, self.num_agents,
             self.cfg.n_block, self.cfg.n_embd, self.mcfg.action_type,
-            self.cfg.dec_actor, self.cfg.share_actor)
+            self.cfg.dec_actor, self.cfg.share_actor, encoder_dim=enc_dim)
         vnorm = vn.create(1) if self.cfg.use_valuenorm else None
         return MATTrainState(params=params, opt_state=self.tx.init(params),
                              vnorm=vnorm)
@@ -82,10 +87,12 @@ class MAT:
     def get_actions(self, state, share_obs, obs, rnn_actor, rnn_critic,
                     masks, key, available_actions=None, deterministic=False):
         obs3 = self._fold(obs)
+        enc_in = self._fold(share_obs) if self.cfg.encode_state else None
         avail3 = self._fold(available_actions) \
             if available_actions is not None else None
         actions, logp, values = tfm.autoregressive_act(
-            self.mcfg, state.params, obs3, key, avail3, deterministic)
+            self.mcfg, state.params, obs3, key, avail3, deterministic,
+            enc_in=enc_in)
         return (self._flat(values), self._flat(actions), self._flat(logp),
                 rnn_actor, rnn_critic)
 
@@ -115,9 +122,12 @@ class MAT:
             vnorm = vn.update(vnorm, mb["returns"].reshape(-1, 1))
         avail = mb.get("available_actions")
 
+        enc_in = mb["share_obs"] if self.cfg.encode_state else None
+
         def loss_fn(params):
             logp, values, entropy = tfm.parallel_act(
-                self.mcfg, params, mb["obs"], mb["actions"], avail)
+                self.mcfg, params, mb["obs"], mb["actions"], avail,
+                enc_in=enc_in)
             am = mb["active_masks"]
             if cfg.use_policy_active_masks:
                 ent = jnp.sum(entropy * am) / jnp.maximum(jnp.sum(am), 1e-8)

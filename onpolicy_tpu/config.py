@@ -115,6 +115,10 @@ class Config:
     n_head: int = 1
     dec_actor: bool = False
     share_actor: bool = False
+    encode_state: bool = False   # MAT encoder reads the centralized state
+                                 # (properly implemented here; the
+                                 # reference zeroes state, making its
+                                 # encode_state path dead code)
 
     # ---- TPU-native additions (no reference analogue) ----
     mesh_shape: Tuple[int, ...] = (1,)   # devices along the 'data' axis

@@ -200,10 +200,13 @@ def decoder_apply(p, shifted_action, obs_rep, obs, n_head,
 # ---- full model -----------------------------------------------------
 
 def mat_init(key, obs_dim, action_dim, n_agent, n_block, n_embd,
-             action_type="Discrete", dec_actor=False, share_actor=False):
+             action_type="Discrete", dec_actor=False, share_actor=False,
+             encoder_dim=None):
+    """encoder_dim: encoder input width — obs_dim normally, the
+    centralized-state width under encode_state."""
     ke, kd = jax.random.split(key)
     return {
-        "encoder": encoder_init(ke, obs_dim, n_block, n_embd),
+        "encoder": encoder_init(ke, encoder_dim or obs_dim, n_block, n_embd),
         "decoder": decoder_init(kd, obs_dim, action_dim, n_block, n_embd,
                                 n_agent, action_type, dec_actor, share_actor),
     }
@@ -211,7 +214,8 @@ def mat_init(key, obs_dim, action_dim, n_agent, n_block, n_embd,
 
 class MATConfig:
     def __init__(self, n_agent, action_dim, n_block, n_embd, n_head,
-                 action_type="Discrete", dec_actor=False, share_actor=False):
+                 action_type="Discrete", dec_actor=False, share_actor=False,
+                 encode_state=False):
         self.n_agent = n_agent
         self.action_dim = action_dim
         self.n_block = n_block
@@ -220,16 +224,21 @@ class MATConfig:
         self.action_type = action_type
         self.dec_actor = dec_actor
         self.share_actor = share_actor
+        self.encode_state = encode_state
 
 
 def autoregressive_act(mcfg: MATConfig, params, obs, key,
-                       available_actions=None, deterministic=False):
+                       available_actions=None, deterministic=False,
+                       enc_in=None):
     """Rollout decode: sequential over agents inside the jitted program
     (`discrete_autoregreesive_act`). → (actions [B,M,1], logp [B,M,1],
-    values [B,M,1])."""
+    values [B,M,1]). `enc_in` overrides the encoder input (centralized
+    state under encode_state)."""
     B, M, _ = obs.shape
     A = mcfg.action_dim
-    v_loc, obs_rep = encoder_apply(params["encoder"], obs, mcfg.n_head)
+    v_loc, obs_rep = encoder_apply(
+        params["encoder"], enc_in if enc_in is not None else obs,
+        mcfg.n_head)
 
     if mcfg.action_type == "Discrete":
         shifted = jnp.zeros((B, M, A + 1)).at[:, 0, 0].set(1.0)
@@ -298,13 +307,15 @@ def autoregressive_act(mcfg: MATConfig, params, obs, key,
 
 
 def parallel_act(mcfg: MATConfig, params, obs, actions,
-                 available_actions=None):
+                 available_actions=None, enc_in=None):
     """Training decode: teacher-forced one pass
     (`discrete_parallel_act`). → (logp [B,M,1], values [B,M,1],
     entropy [B,M,1])."""
     B, M, _ = obs.shape
     A = mcfg.action_dim
-    v_loc, obs_rep = encoder_apply(params["encoder"], obs, mcfg.n_head)
+    v_loc, obs_rep = encoder_apply(
+        params["encoder"], enc_in if enc_in is not None else obs,
+        mcfg.n_head)
     if mcfg.action_type == "Discrete":
         a_int = actions[..., 0].astype(jnp.int32)
         onehot = jax.nn.one_hot(a_int, A)

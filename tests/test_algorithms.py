@@ -101,3 +101,17 @@ def test_hatrpo_trust_region():
         if acc > 0:
             assert kl < cfg.kl_threshold
             assert float(m[f"agent{i}"]["loss_improve"]) > 0
+
+
+def test_mat_encode_state():
+    """encode_state: the MAT encoder consumes the centralized state (the
+    reference's version zeroes state, making its flag dead — ours works)."""
+    cfg = _cfg("mat", encode_state="true")
+    runner = SharedRunner(cfg)
+    assert runner.algo.critic_reads == "share_obs"
+    ts, carry = runner.init(jax.random.PRNGKey(0))
+    ts2, carry, m = runner._episode_fn(ts, carry, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["value_loss"]))
+    # encoder embed width matches the centralized state dim
+    w = ts2.params["encoder"]["obs_embed"]["w"]
+    assert w.shape[0] == 18 * 3  # share dim for spread (3 agents x 18)
