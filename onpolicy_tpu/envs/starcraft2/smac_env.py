@@ -17,11 +17,12 @@ only fault-tolerance mechanism).
 
 Global state options (`--use_obs_instead_of_state` and the MAPPO paper's
 agent-specific state): "env" uses the engine's get_state() replicated
-per agent; "concat" concatenates all agents' obs (use_obs_instead_of_
-state); "agent" appends each agent's own obs to the env state — an
-agent-specific centralized input in the spirit of the paper's AS state
-(`get_state_agent`, `:1327-1521`; the exact per-feature AS layout
-requires engine internals the public package does not expose).
+per agent; "concat" concatenates all agents' obs
+(use_obs_instead_of_state); "agent" appends each agent's own obs to the
+env state; "agent_feature" builds the paper's FULL agent-specific AS
+state per agent via `state_builder.agent_specific_state` (faithful
+re-derivation of `get_state_agent`, `:1327-1521`, reading unit data
+through the public smac engine attributes).
 
 Import-gated: requires `smac` + a StarCraft II installation.
 """
@@ -59,6 +60,10 @@ class SMACEnv:
             share_dim = obs_dim * M
         elif state_type == "agent":
             share_dim = state_dim + obs_dim
+        elif state_type == "agent_feature":
+            from onpolicy_tpu.envs.starcraft2 import state_builder as sb
+            self._sb_cfg = sb.config_from_smac(self.env)
+            share_dim = sb.state_dim(self._sb_cfg)
         else:
             share_dim = state_dim
         self.observation_space = [sp.Box((obs_dim,))] * M
@@ -72,6 +77,10 @@ class SMACEnv:
         if self.state_type == "concat":
             flat = np.concatenate(obs, -1)
             return np.tile(flat, (M, 1)).astype(np.float32)
+        if self.state_type == "agent_feature":
+            from onpolicy_tpu.envs.starcraft2 import state_builder as sb
+            snap = sb.snapshot_from_smac(self.env)
+            return sb.all_agent_states(self._sb_cfg, snap)
         state = np.asarray(self.env.get_state(), np.float32)
         if self.state_type == "agent":
             return np.stack([np.concatenate([state, o]) for o in obs]

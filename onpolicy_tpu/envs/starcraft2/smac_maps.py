@@ -37,6 +37,30 @@ MAP_REGISTRY = {
     "1o_10b_vs_1r": (11, 1, 300, "Z", "Z", 2, "overload_bane"),
     "1o_2r_vs_4r": (3, 4, 300, "Z", "Z", 2, "overload_roach"),
     "bane_vs_hM": (3, 2, 30, "Z", "T", 2, "bZ_hM"),
+    "1c1s1z_vs_1c1s1z": (3, 3, 180, "P", "P", 3, "colossi_stalkers_zealots"),
+    "1c2s_vs_1c1s1z": (3, 3, 180, "P", "P", 3, "colossi_stalkers_zealots"),
+    "1c2z_vs_1c1s1z": (3, 3, 180, "P", "P", 3, "colossi_stalkers_zealots"),
+    "1s3z_vs_zg": (4, 20, 200, "P", "Z", 2, "stalkers_and_zealots_vs_zergling"),
+    "1s3z_vs_zg_easy": (4, 18, 200, "P", "Z", 2, "stalkers_and_zealots_vs_zergling"),
+    "28m_vs_30m": (28, 30, 180, "T", "T", 0, "marines"),
+    "29m_vs_30m": (29, 30, 180, "T", "T", 0, "marines"),
+    "2c1s_vs_1c1s1z": (3, 3, 180, "P", "P", 3, "colossi_stalkers_zealots"),
+    "2c1z_vs_1c1s1z": (3, 3, 180, "P", "P", 3, "colossi_stalkers_zealots"),
+    "2s2z_vs_zg": (4, 20, 200, "P", "Z", 2, "stalkers_and_zealots_vs_zergling"),
+    "2s2z_vs_zg_easy": (4, 18, 200, "P", "Z", 2, "stalkers_and_zealots_vs_zergling"),
+    "2s6z_vs_4s4z": (8, 8, 150, "P", "P", 2, "stalkers_and_zealots"),
+    "30m_vs_30m": (30, 30, 180, "T", "T", 0, "marines"),
+    "3s1z_vs_zg": (4, 20, 200, "P", "Z", 2, "stalkers_and_zealots_vs_zergling"),
+    "3s1z_vs_zg_easy": (4, 18, 200, "P", "Z", 2, "stalkers_and_zealots_vs_zergling"),
+    "3s5z_vs_4s4z": (8, 8, 150, "P", "P", 2, "stalkers_and_zealots"),
+    "3s6z_vs_3s6z": (9, 9, 170, "P", "P", 2, "stalkers_and_zealots"),
+    "4s4z_vs_4s4z": (8, 8, 150, "P", "P", 2, "stalkers_and_zealots"),
+    "5m_vs_6m_tz": (5, 6, 70, "T", "T", 0, "marines"),
+    "5s3z_vs_4s4z": (8, 8, 150, "P", "P", 2, "stalkers_and_zealots"),
+    "6m_vs_6m_tz": (6, 6, 70, "T", "T", 0, "marines"),
+    "6s2z_vs_4s4z": (8, 8, 150, "P", "P", 2, "stalkers_and_zealots"),
+    "7h_vs_8z": (7, 8, 150, "Z", "P", 0, "hydralisks"),
+    "MMM2_test": (10, 12, 180, "T", "T", 3, "MMM"),
 }
 
 

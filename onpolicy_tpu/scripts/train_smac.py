@@ -49,7 +49,7 @@ def make_env_fns(ns, cfg, n, base_seed):
                                      seed=base_seed + rank * 1000)
     else:
         from onpolicy_tpu.envs.starcraft2.smac_env import SMACEnv
-        state_type = "agent" if ns.use_state_agent else "env"
+        state_type = "agent_feature" if ns.use_state_agent else "env"
 
         def fn(rank):
             return lambda: SMACEnv(ns.map_name,
