@@ -53,4 +53,8 @@ void hanabi_batch_observe(void* h, float* obs, float* ownhand, float* avail,
                                           done, score);
 }
 
+void hanabi_batch_observe_player(void* h, int player, float* obs) {
+  static_cast<BatchedHanabi*>(h)->ObservePlayer(player, obs);
+}
+
 }  // extern "C"

@@ -389,6 +389,12 @@ void BatchedHanabi::Step(const int32_t* actions, float* reward_out) {
   }
 }
 
+void BatchedHanabi::ObservePlayer(int player, float* obs) const {
+  const int od = game_.ObsDim();
+  for (size_t i = 0; i < states_.size(); ++i)
+    states_[i].Encode(player, obs + i * od);
+}
+
 void BatchedHanabi::Observe(float* obs, float* ownhand, float* avail,
                             int32_t* cur_player, uint8_t* done,
                             int32_t* score) const {

@@ -148,6 +148,8 @@ class BatchedHanabi {
   // Gather current-player observations for every game.
   void Observe(float* obs, float* ownhand, float* avail,
                int32_t* cur_player, uint8_t* done, int32_t* score) const;
+  // Encode a FIXED seat's view for every game (obs_instead_of_state).
+  void ObservePlayer(int player, float* obs) const;
 
  private:
   Game game_;

@@ -51,6 +51,8 @@ def load_library() -> ctypes.CDLL:
     lib.hanabi_batch_step.argtypes = [ctypes.c_void_p, i32p, f32p]
     lib.hanabi_batch_observe.argtypes = [ctypes.c_void_p] + [f32p] * 3 + \
         [i32p, u8p, i32p]
+    lib.hanabi_batch_observe_player.argtypes = [ctypes.c_void_p,
+                                                ctypes.c_int, f32p]
     _LIB = lib
     return lib
 
@@ -97,6 +99,14 @@ class HanabiBatch:
         self.lib.hanabi_batch_step(self.handle, _ptr(a, ctypes.c_int32),
                                    _ptr(self._rew, ctypes.c_float))
         return self._rew.copy()
+
+    def observe_player(self, player: int) -> np.ndarray:
+        """Canonical encodings of a FIXED seat's view, every game →
+        [N, obs_dim]."""
+        out = np.zeros((self.n_games, self.obs_dim), np.float32)
+        self.lib.hanabi_batch_observe_player(self.handle, player,
+                                             _ptr(out, ctypes.c_float))
+        return out
 
     def observe(self):
         """→ (obs, ownhand, avail, cur_player, done, score) snapshots."""

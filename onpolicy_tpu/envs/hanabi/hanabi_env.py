@@ -73,15 +73,12 @@ class HanabiVecEnv:
         obs = np.concatenate([obs_raw, turn], -1)
         if self.obs_instead_of_state:
             # concat of every seat's canonical view + agent_turn
-            views = [obs_raw]
-            # other seats' views require per-seat encoding; the batched
-            # engine encodes the current seat — approximate parity by
-            # tiling is wrong, so encode per seat via extra observes is
-            # not available; use own-hand variant instead.
-            raise NotImplementedError(
-                "use_obs_instead_of_state for Hanabi requires per-seat "
-                "encodings; use the own-hand centralized state (default)")
-        share = np.concatenate([own, obs_raw, turn], -1)
+            # (Hanabi_Env.py:306-311 use_obs_instead_of_state branch)
+            views = [self.batch.observe_player(p)
+                     for p in range(self.num_agents)]
+            share = np.concatenate(views + [turn], -1)
+        else:
+            share = np.concatenate([own, obs_raw, turn], -1)
         # finished games present zeroed rows + zero avail (reference
         # returns zeros for envs without available actions)
         dead = done.astype(bool)

@@ -124,3 +124,17 @@ class TestRunner:
         assert np.isfinite(hist[-1].get("value_loss", 0.0))
         score = runner.evaluate(ts, 5)
         assert 0.0 <= score <= 5.0
+
+
+def test_obs_instead_of_state():
+    env = HanabiVecEnv("Hanabi-Small", 2, 3, seed=1,
+                       use_obs_instead_of_state=True)
+    try:
+        obs, share, avail, cur = env.reset()
+        assert share.shape == (3, env.batch.obs_dim * 2 + 2)
+        # seat-0's view inside the concat equals the current-player obs
+        # (current player IS seat 0 at reset)
+        np.testing.assert_array_equal(share[:, :env.batch.obs_dim],
+                                      obs[:, :env.batch.obs_dim])
+    finally:
+        env.close()
