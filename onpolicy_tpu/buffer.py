@@ -4,8 +4,9 @@ Re-derivation of `/root/reference/onpolicy/utils/shared_buffer.py` as a
 pytree of time-major `[T(+1), N, M, ...]` jnp arrays (N = rollout
 threads, M = agents). The reference fills numpy slots with per-step
 `insert` copies on host; here the rollout `lax.scan` produces the whole
-buffer on device in one shot (`from_rollout`), and an `insert` is kept
-for the host-ingestion path (external engines).
+buffer on device in one shot (`from_rollout`). The host-ingestion path
+stages per-step numpy blocks and builds the buffer with the same
+`from_rollout` at episode end (one transfer per episode).
 
 The reference's three generators become pure index-permutation functions
 that materialize `[num_mini_batch, ...]` stacked minibatches for a

@@ -31,6 +31,10 @@ def parse_args(argv):
                    help="SMACv2 ally-v-enemy unit counts, e.g. 10v11")
     p.add_argument("--add_center_xy", nargs="?", const=True, default=True)
     p.add_argument("--use_state_agent", nargs="?", const=True, default=True)
+    p.add_argument("--train_maps", nargs="+", default=None,
+                   help="SMACv2 meta-training map list")
+    p.add_argument("--eval_maps", nargs="+", default=None,
+                   help="SMACv2 held-out evaluation map list")
     ns = p.parse_args(argv)
     return ns
 

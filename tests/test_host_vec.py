@@ -221,3 +221,26 @@ def test_host_runner_basic_protocol():
         assert abs(hist[-1]["average_step_rewards"] - 0.5) < 1e-5
     finally:
         env.close()
+
+
+def test_choose_simple_protocol():
+    """choose_simple: 4-tuple, no auto-reset, masked reset."""
+
+    class Simple4(MockFootballEnv):
+        pass
+
+    env = HostVecEnv([lambda s=i: Simple4(s) for i in range(2)],
+                     protocol="choose_simple")
+    try:
+        obs = env.reset()
+        assert obs.shape == (2, 2, 6)
+        a = np.zeros((2, 2, 1))
+        for _ in range(5):
+            obs, rew, dones, infos = env.step(a)
+        assert dones.all()
+        obs, *_ = env.step(a)              # NO auto-reset
+        assert obs[0, 0, 0] == 6
+        obs2 = env.reset(np.array([True, False]))
+        assert obs2[0, 0, 0] == 0 and obs2[1, 0, 0] == 6
+    finally:
+        env.close()
