@@ -14,6 +14,8 @@ _SCENARIOS = {
     "simple_push": "onpolicy_tpu.envs.mpe.scenarios.simple_push",
     "simple_attack": "onpolicy_tpu.envs.mpe.scenarios.simple_attack",
     "simple_crypto": "onpolicy_tpu.envs.mpe.scenarios.simple_crypto",
+    "simple_crypto_display":
+        "onpolicy_tpu.envs.mpe.scenarios.simple_crypto_display",
     "simple_world_comm": "onpolicy_tpu.envs.mpe.scenarios.simple_world_comm",
 }
 

@@ -115,6 +115,25 @@ def test_simple_crypto(reference_mpe):
     _roll(ref, mine, state, [(4,)] * 3)
 
 
+def test_simple_crypto_display(reference_mpe):
+    ref, _ = _make_ref(reference_mpe, "simple_crypto_display", num_agents=3,
+                       num_landmarks=2)
+    ref.reset()
+    mine = MPEEnv("simple_crypto_display", 3, 2, 25)
+    goal = list(ref.world.landmarks).index(ref.world.agents[0].goal_a)
+    key_idx = int(np.argmax(ref.world.agents[2].key))
+    state = _inject(ref, mine, {"goal": jnp.asarray(goal),
+                                "key": jnp.asarray(key_idx)})
+    # deterministic display layout must already match the reference
+    np.testing.assert_allclose(
+        np.asarray(state.agent_pos),
+        np.array([a.state.p_pos for a in ref.world.agents]), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(state.landmark_pos),
+        np.array([l.state.p_pos for l in ref.world.landmarks]), atol=1e-6)
+    _roll(ref, mine, state, [(4,)] * 3)
+
+
 def test_simple_world_comm(reference_mpe):
     ref, _ = _make_ref(reference_mpe, "simple_world_comm",
                        num_good_agents=2, num_adversaries=4, num_landmarks=1)
