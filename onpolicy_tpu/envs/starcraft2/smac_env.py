@@ -28,6 +28,7 @@ Import-gated: requires `smac` + a StarCraft II installation.
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
 import numpy as np
@@ -38,7 +39,7 @@ from onpolicy_tpu.utils import spaces as sp
 class SMACEnv:
     def __init__(self, map_name: str = "3s5z", seed: Optional[int] = None,
                  state_type: str = "env", obs_last_action: bool = False,
-                 **smac_kwargs):
+                 state_options: Optional[dict] = None, **smac_kwargs):
         try:
             from smac.env import StarCraft2Env
         except ImportError as e:  # pragma: no cover
@@ -56,16 +57,19 @@ class SMACEnv:
         self.state_type = state_type
         obs_dim = info["obs_shape"]
         state_dim = info["state_shape"]
+        from onpolicy_tpu.envs.starcraft2 import state_builder as sb
+        self._sb_cfg = dataclasses.replace(
+            sb.config_from_smac(self.env), **(state_options or {}))
         if state_type == "concat":
             share_dim = obs_dim * M
         elif state_type == "agent":
             share_dim = state_dim + obs_dim
         elif state_type == "agent_feature":
-            from onpolicy_tpu.envs.starcraft2 import state_builder as sb
-            self._sb_cfg = sb.config_from_smac(self.env)
             share_dim = sb.state_dim(self._sb_cfg)
         else:
-            share_dim = state_dim
+            # per-agent EP state with ablation blocks (`get_state(agent_id)`,
+            # StarCraft2_Env.py:419-422 — NOT the engine's joint get_state)
+            share_dim = sb.env_state_dim(self._sb_cfg, obs_dim)
         self.observation_space = [sp.Box((obs_dim,))] * M
         self.share_observation_space = [sp.Box((share_dim,))] * M
         self.action_space = [sp.Discrete(self.n_actions)] * M
@@ -77,15 +81,16 @@ class SMACEnv:
         if self.state_type == "concat":
             flat = np.concatenate(obs, -1)
             return np.tile(flat, (M, 1)).astype(np.float32)
+        from onpolicy_tpu.envs.starcraft2 import state_builder as sb
         if self.state_type == "agent_feature":
-            from onpolicy_tpu.envs.starcraft2 import state_builder as sb
             snap = sb.snapshot_from_smac(self.env)
             return sb.all_agent_states(self._sb_cfg, snap)
-        state = np.asarray(self.env.get_state(), np.float32)
         if self.state_type == "agent":
+            state = np.asarray(self.env.get_state(), np.float32)
             return np.stack([np.concatenate([state, o]) for o in obs]
                             ).astype(np.float32)
-        return np.tile(state, (M, 1)).astype(np.float32)
+        snap = sb.snapshot_from_smac(self.env)
+        return sb.all_env_states(self._sb_cfg, snap, local_obs=np.asarray(obs))
 
     def _gather(self):
         obs = np.asarray(self.env.get_obs(), np.float32)

@@ -49,6 +49,16 @@ class StateConfig:
     n_actions_move: int = 4
     n_actions_no_attack: int = 6
     episode_limit: int = 400
+    # EP-state ablation blocks (`train_smac.py:112-118`, consumed by the
+    # per-agent `get_state`, `StarCraft2_Env.py:1152-1325`); all default
+    # False like the reference entry point.
+    add_move_state: bool = False
+    add_local_obs: bool = False
+    add_distance_state: bool = False
+    add_xy_state: bool = False
+    add_visible_state: bool = False
+    add_enemy_action_state: bool = False
+    add_agent_id: bool = False
 
 
 @dataclass
@@ -239,6 +249,162 @@ def agent_specific_state(cfg: StateConfig, snap: Snapshot,
 def all_agent_states(cfg: StateConfig, snap: Snapshot) -> np.ndarray:
     return np.stack([agent_specific_state(cfg, snap, i)
                      for i in range(cfg.n_agents)])
+
+
+# ---- per-agent EP ("env") state --------------------------------------
+#
+# Faithful re-derivation of the reference's `get_state(agent_id)`
+# (`StarCraft2_Env.py:1152-1325`): the environment-provided global state
+# conditioned per agent (mustalive zeroing + optional agent-relative
+# ablation blocks). Used when `--use_state_agent` is off. Row layouts:
+#   ally  [health, cooldown|energy, (center₂), (shield), (type one-hot),
+#          (dist), (rel xy₂), (visible), (last_action)]
+#   enemy [health, (center₂), (shield), (type one-hot), (dist),
+#          (rel xy₂), (visible), (attackable)] + last_action zero padding
+# (the size calculator reserves n_actions per enemy row that the body
+# never writes — reproduced verbatim, `:1180-1182`).
+
+def _nf_al_env(cfg: StateConfig) -> int:
+    nf = 2 + cfg.shield_bits_ally + cfg.unit_type_bits
+    nf += 2 if cfg.add_center_xy else 0
+    nf += 1 if cfg.add_distance_state else 0
+    nf += 2 if cfg.add_xy_state else 0
+    nf += 1 if cfg.add_visible_state else 0
+    nf += cfg.n_actions if cfg.state_last_action else 0
+    return nf
+
+
+def _nf_en_env(cfg: StateConfig) -> int:
+    nf = 1 + cfg.shield_bits_enemy + cfg.unit_type_bits
+    nf += 2 if cfg.add_center_xy else 0
+    nf += 1 if cfg.add_distance_state else 0
+    nf += 2 if cfg.add_xy_state else 0
+    nf += 1 if cfg.add_visible_state else 0
+    nf += cfg.n_actions if cfg.state_last_action else 0
+    nf += 1 if cfg.add_enemy_action_state else 0
+    return nf
+
+
+def env_state_dim(cfg: StateConfig, obs_dim: int = 0) -> int:
+    """Size of `env_state` (`get_state_size` env branch, `:1683-1736`)."""
+    d = cfg.n_agents * _nf_al_env(cfg) + cfg.n_enemies * _nf_en_env(cfg)
+    if cfg.add_move_state:
+        d += cfg.n_actions_move
+    if cfg.add_local_obs:
+        d += obs_dim
+    if cfg.state_timestep_number:
+        d += 1
+    if cfg.add_agent_id:
+        d += cfg.n_agents
+    return d
+
+
+def env_state(cfg: StateConfig, snap: Snapshot, agent_id: int,
+              local_obs: Optional[np.ndarray] = None) -> np.ndarray:
+    ally_state = np.zeros((cfg.n_agents, _nf_al_env(cfg)), np.float32)
+    enemy_state = np.zeros((cfg.n_enemies, _nf_en_env(cfg)), np.float32)
+    move_state = np.zeros(cfg.n_actions_move, np.float32)
+
+    x, y = snap.ally_x[agent_id], snap.ally_y[agent_id]
+    sight = max(float(snap.sight_range[agent_id]), 1e-6)
+    cx, cy = cfg.map_x / 2.0, cfg.map_y / 2.0
+    avail = snap.avail_actions[agent_id]
+    alive = snap.ally_health[agent_id] > 0
+
+    if alive or not cfg.use_mustalive:
+        move_state[:] = avail[2:2 + cfg.n_actions_move]
+
+        for al in range(cfg.n_agents):
+            if snap.ally_health[al] <= 0:
+                continue
+            ax, ay = snap.ally_x[al], snap.ally_y[al]
+            dist = float(np.hypot(ax - x, ay - y))
+            ally_state[al, 0] = (snap.ally_health[al]
+                                 / max(snap.ally_health_max[al], 1e-6))
+            ally_state[al, 1] = (snap.ally_cooldown[al]
+                                 / max(snap.ally_max_cooldown[al], 1e-6))
+            ind = 2
+            if cfg.add_center_xy:
+                ally_state[al, ind] = (ax - cx) / cfg.max_distance_x
+                ally_state[al, ind + 1] = (ay - cy) / cfg.max_distance_y
+                ind += 2
+            if cfg.shield_bits_ally > 0:
+                ally_state[al, ind] = (snap.ally_shield[al]
+                                       / max(snap.ally_shield_max[al], 1e-6))
+                ind += 1
+            if cfg.unit_type_bits > 0:
+                ally_state[al, ind + int(snap.ally_type[al])] = 1.0
+            if alive:  # agent-relative blocks (`:1246-1262`)
+                ind += cfg.unit_type_bits
+                if cfg.add_distance_state:
+                    ally_state[al, ind] = dist / sight
+                    ind += 1
+                if cfg.add_xy_state:
+                    ally_state[al, ind] = (ax - x) / sight
+                    ally_state[al, ind + 1] = (ay - y) / sight
+                    ind += 2
+                if cfg.add_visible_state:
+                    if dist < sight:
+                        ally_state[al, ind] = 1.0
+                    ind += 1
+                if cfg.state_last_action:
+                    ally_state[al, ind:] = snap.last_actions[al]
+
+        for e in range(cfg.n_enemies):
+            if snap.enemy_health[e] <= 0:
+                continue
+            ex, ey = snap.enemy_x[e], snap.enemy_y[e]
+            dist = float(np.hypot(ex - x, ey - y))
+            enemy_state[e, 0] = (snap.enemy_health[e]
+                                 / max(snap.enemy_health_max[e], 1e-6))
+            ind = 1
+            if cfg.add_center_xy:
+                enemy_state[e, ind] = (ex - cx) / cfg.max_distance_x
+                enemy_state[e, ind + 1] = (ey - cy) / cfg.max_distance_y
+                ind += 2
+            if cfg.shield_bits_enemy > 0:
+                enemy_state[e, ind] = (snap.enemy_shield[e]
+                                       / max(snap.enemy_shield_max[e], 1e-6))
+                ind += 1
+            if cfg.unit_type_bits > 0:
+                enemy_state[e, ind + int(snap.enemy_type[e])] = 1.0
+            if alive:  # agent-relative blocks (`:1286-1302`)
+                ind += cfg.unit_type_bits
+                if cfg.add_distance_state:
+                    enemy_state[e, ind] = dist / sight
+                    ind += 1
+                if cfg.add_xy_state:
+                    enemy_state[e, ind] = (ex - x) / sight
+                    enemy_state[e, ind + 1] = (ey - y) / sight
+                    ind += 2
+                if cfg.add_visible_state:
+                    if dist < sight:
+                        enemy_state[e, ind] = 1.0
+                    ind += 1
+                if cfg.add_enemy_action_state:
+                    enemy_state[e, ind] = avail[cfg.n_actions_no_attack + e]
+
+    state = np.append(ally_state.ravel(), enemy_state.ravel())
+    if cfg.add_move_state:
+        state = np.append(state, move_state)
+    if cfg.add_local_obs:
+        assert local_obs is not None, "add_local_obs requires the agent obs"
+        state = np.append(state, np.asarray(local_obs, np.float32).ravel())
+    if cfg.state_timestep_number:
+        state = np.append(state, snap.episode_steps / cfg.episode_limit)
+    if cfg.add_agent_id:
+        one_hot = np.zeros(cfg.n_agents, np.float32)
+        one_hot[agent_id] = 1.0
+        state = np.append(state, one_hot)
+    return state.astype(np.float32)
+
+
+def all_env_states(cfg: StateConfig, snap: Snapshot,
+                   local_obs: Optional[np.ndarray] = None) -> np.ndarray:
+    return np.stack([
+        env_state(cfg, snap, i,
+                  None if local_obs is None else local_obs[i])
+        for i in range(cfg.n_agents)])
 
 
 # ---- live-env adapter ------------------------------------------------

@@ -23,9 +23,11 @@ def parse_args(argv):
     p.add_argument("--rewards", type=str, default="scoring,checkpoints")
     p.add_argument("--smm_width", type=int, default=96)
     p.add_argument("--smm_height", type=int, default=72)
-    p.add_argument("--share_reward", nargs="?", const=True, default=True)
+    from onpolicy_tpu.config import _parse_bool
+    p.add_argument("--share_reward", nargs="?", const=True, default=True,
+                   type=_parse_bool)
     p.add_argument("--eval_deterministic", nargs="?", const=True,
-                   default=True)
+                   default=True, type=_parse_bool)
     return p.parse_args(argv)
 
 

@@ -29,8 +29,19 @@ def parse_args(argv):
     p.add_argument("--map_name", type=str, default="3s5z")
     p.add_argument("--units", type=str, default="10v10",
                    help="SMACv2 ally-v-enemy unit counts, e.g. 10v11")
-    p.add_argument("--add_center_xy", nargs="?", const=True, default=True)
-    p.add_argument("--use_state_agent", nargs="?", const=True, default=True)
+    from onpolicy_tpu.config import _parse_bool
+    p.add_argument("--add_center_xy", nargs="?", const=True, default=True,
+                   type=_parse_bool)
+    p.add_argument("--use_state_agent", nargs="?", const=True, default=True,
+                   type=_parse_bool)
+    p.add_argument("--use_mustalive", nargs="?", const=True, default=True,
+                   type=_parse_bool)
+    # EP-state ablation blocks (reference train_smac.py:112-118)
+    for f in ("add_move_state", "add_local_obs", "add_distance_state",
+              "add_xy_state", "add_visible_state", "add_enemy_action_state",
+              "add_agent_id"):
+        p.add_argument("--" + f, nargs="?", const=True, default=False,
+                       type=_parse_bool)
     p.add_argument("--train_maps", nargs="+", default=None,
                    help="SMACv2 meta-training map list")
     p.add_argument("--eval_maps", nargs="+", default=None,
@@ -54,11 +65,18 @@ def make_env_fns(ns, cfg, n, base_seed):
     else:
         from onpolicy_tpu.envs.starcraft2.smac_env import SMACEnv
         state_type = "agent_feature" if ns.use_state_agent else "env"
+        state_options = {
+            k: bool(getattr(ns, k)) for k in (
+                "add_center_xy", "use_mustalive", "add_move_state",
+                "add_local_obs", "add_distance_state", "add_xy_state",
+                "add_visible_state", "add_enemy_action_state",
+                "add_agent_id")}
 
         def fn(rank):
             return lambda: SMACEnv(ns.map_name,
                                    seed=base_seed + rank * 1000,
-                                   state_type=state_type)
+                                   state_type=state_type,
+                                   state_options=state_options)
     return [fn(i) for i in range(n)]
 
 
