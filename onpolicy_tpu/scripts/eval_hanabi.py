@@ -17,11 +17,15 @@ from onpolicy_tpu.runner.hanabi_runner import HanabiRunner
 from onpolicy_tpu.utils import checkpoint as ckpt
 
 
-def main(argv=None):
+def parse_args(argv):
     p = get_config()
     p.add_argument("--hanabi_name", type=str, default="Hanabi-Small")
     p.add_argument("--eval_games", type=int, default=100_000)
-    ns = p.parse_args(argv if argv is not None else sys.argv[1:])
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    ns = parse_args(argv if argv is not None else sys.argv[1:])
     overrides = {k: v for k, v in vars(ns).items()
                  if k in Config.__dataclass_fields__}
     overrides["env_name"] = "Hanabi"

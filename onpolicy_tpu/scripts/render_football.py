@@ -13,14 +13,22 @@ import numpy as np
 
 from onpolicy_tpu.config import get_config, Config, canonicalize_algorithm
 from onpolicy_tpu.utils import checkpoint as ckpt
-from onpolicy_tpu.utils.render import save_gif
+from onpolicy_tpu.utils.render import save_gif, save_video
 
 
-def main(argv=None):
+def parse_args(argv):
     p = get_config()
     p.add_argument("--representation", type=str, default="simple115v2")
     p.add_argument("--rewards", type=str, default="scoring,checkpoints")
-    ns = p.parse_args(argv if argv is not None else sys.argv[1:])
+    # reference render_football.py:87 --save_videos (.avi via the engine's
+    # write_video); we render mp4 via imageio when available, else gif
+    p.add_argument("--save_videos", nargs="?", const=True, default=False)
+    p.add_argument("--video_dir", type=str, default="")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    ns = parse_args(argv if argv is not None else sys.argv[1:])
     overrides = {k: v for k, v in vars(ns).items()
                  if k in Config.__dataclass_fields__}
     overrides.update(env_name="Football", n_rollout_threads=1)
@@ -47,18 +55,22 @@ def main(argv=None):
         rnn = algo.actor.init_rnn_state(M)
         masks = jnp.ones((M, 1))
         frames, ep_rew, done = [], 0.0, False
+        record = cfg.save_gifs or ns.save_videos
         while not done:
             actions, rnn = algo.act(state, jnp.asarray(obs), rnn, masks,
                                     deterministic=True)
             obs, rew, dones, infos = env.step(np.asarray(actions))
             ep_rew += float(rew.mean())
             done = bool(np.all(dones))
-            if cfg.save_gifs:
+            if record:
                 try:
                     frames.append(env.render("rgb_array"))
                 except Exception:
                     pass
-        if cfg.save_gifs and frames:
+        if frames and ns.save_videos:
+            vdir = ns.video_dir or "videos/football"
+            save_video(frames, f"{vdir}/episode_{ep}.mp4", fps=1.0 / cfg.ifi)
+        elif frames and cfg.save_gifs:
             save_gif(frames, f"gifs/football/episode_{ep}.gif",
                      fps=1.0 / cfg.ifi)
         print(f"episode {ep}: reward {ep_rew:.2f}")

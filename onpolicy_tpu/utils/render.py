@@ -49,3 +49,16 @@ def save_gif(frames: Sequence[np.ndarray], path, fps: float = 10.0):
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     imageio.mimsave(str(path), list(frames), duration=1.0 / fps, loop=0)
     return path
+
+
+def save_video(frames: Sequence[np.ndarray], path, fps: float = 10.0):
+    """Save mp4 via imageio/ffmpeg (reference dumps .avi through the GRF
+    engine, render_football.py:87); falls back to gif when no ffmpeg."""
+    import imageio
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    try:
+        imageio.mimsave(str(path), list(frames), fps=fps)
+        return path
+    except Exception:
+        alt = str(Path(path).with_suffix(".gif"))
+        return save_gif(frames, alt, fps=fps)

@@ -1,0 +1,10 @@
+#!/bin/sh
+# Parity with reference scripts/train_football_scripts/train_football_ca_hard.sh
+python -m onpolicy_tpu.scripts.train_football \
+    --env_name Football --scenario_name academy_counterattack_hard --algorithm_name rmappo \
+    --experiment_name check --seed 1 --num_agents 4 \
+    --num_env_steps 50000000 --episode_length 1000 --representation simple115v2 \
+    --rewards scoring,checkpoints --n_rollout_threads 50 --ppo_epoch 15 \
+    --num_mini_batch 2 --save_interval 200000 --log_interval 200000 \
+    --use_eval --eval_interval 400000 --n_eval_rollout_threads 100 \
+    --eval_episodes 100

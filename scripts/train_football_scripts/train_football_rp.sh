@@ -1,8 +1,8 @@
 #!/bin/sh
-# Parity with reference scripts/train_football_scripts/train_football_3v1.sh
+# Parity with reference scripts/train_football_scripts/train_football_rp.sh
 python -m onpolicy_tpu.scripts.train_football \
-    --env_name Football --scenario_name academy_3_vs_1_with_keeper --algorithm_name rmappo \
-    --experiment_name check --seed 1 --num_agents 3 \
+    --env_name Football --scenario_name academy_run_and_pass_with_keeper --algorithm_name rmappo \
+    --experiment_name check --seed 1 --num_agents 2 \
     --num_env_steps 25000000 --episode_length 200 --representation simple115v2 \
     --rewards scoring,checkpoints --n_rollout_threads 50 --ppo_epoch 15 \
     --num_mini_batch 2 --save_interval 200000 --log_interval 200000 \

@@ -1,0 +1,8 @@
+#!/bin/sh
+# Parity with reference scripts/train_smac_scripts/train_smac_MMM2.sh
+python -m onpolicy_tpu.scripts.train_smac \
+    --env_name StarCraft2 --algorithm_name rmappo --experiment_name check \
+    --map_name MMM2 --seed 1 --n_rollout_threads 8 \
+    --num_mini_batch 2 --episode_length 400 --num_env_steps 10000000 \
+    --ppo_epoch 5 --gain 1 --use_value_active_masks false \
+    --use_eval --eval_episodes 32
