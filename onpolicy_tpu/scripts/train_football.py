@@ -28,6 +28,12 @@ def parse_args(argv):
                    type=_parse_bool)
     p.add_argument("--eval_deterministic", nargs="?", const=True,
                    default=True, type=_parse_bool)
+    # accepted for CLI parity; stored-but-never-consumed in the reference
+    # (Football_Env.py:46-47 — no reader anywhere in that repo)
+    p.add_argument("--remove_redundancy", nargs="?", const=True,
+                   default=False, type=_parse_bool)
+    p.add_argument("--zero_feature", nargs="?", const=True,
+                   default=False, type=_parse_bool)
     return p.parse_args(argv)
 
 
