@@ -77,6 +77,13 @@ def make_env_fns(ns, cfg, n, base_seed):
                                    seed=base_seed + rank * 1000,
                                    state_type=state_type,
                                    state_options=state_options)
+    if cfg.use_stacked_frames:
+        from onpolicy_tpu.envs.wrappers import StackedFrames
+        inner = fn
+
+        def fn(rank):
+            thunk = inner(rank)
+            return lambda: StackedFrames(thunk(), cfg.stacked_frames)
     return [fn(i) for i in range(n)]
 
 

@@ -21,3 +21,43 @@ def test_stacking_and_reset_padding():
     assert (obs[:, 8:16] == 1).all()
     assert env.observation_space[0].shape == (24,)
     env.close()
+
+
+def test_train_smac_wires_stacked_frames(monkeypatch):
+    """--use_stacked_frames wraps each SMAC env thunk (reference consumes
+    the flag inside StarCraft2_Env.py:325-327)."""
+    from types import SimpleNamespace
+    import numpy as np
+    from onpolicy_tpu.envs import wrappers
+    from onpolicy_tpu.scripts import train_smac
+    from onpolicy_tpu.utils import spaces as sp
+
+    class FakeSMAC:
+        def __init__(self, *a, **kw):
+            self.num_agents = 2
+            self.observation_space = [sp.Box((4,))] * 2
+            self.share_observation_space = [sp.Box((6,))] * 2
+            self.action_space = [sp.Discrete(5)] * 2
+
+        def reset(self):
+            z = np.zeros((2, 4), np.float32)
+            return z, np.zeros((2, 6), np.float32), np.ones((2, 5), np.float32)
+
+    monkeypatch.setattr("onpolicy_tpu.envs.starcraft2.smac_env.SMACEnv",
+                        FakeSMAC)
+    ns = SimpleNamespace(env_name="StarCraft2", map_name="3m", units="5v5",
+                         use_state_agent=True, add_center_xy=True,
+                         use_mustalive=True, add_move_state=False,
+                         add_local_obs=False, add_distance_state=False,
+                         add_xy_state=False, add_visible_state=False,
+                         add_enemy_action_state=False, add_agent_id=False)
+    cfg = SimpleNamespace(use_stacked_frames=True, stacked_frames=3)
+    fns = train_smac.make_env_fns(ns, cfg, 2, base_seed=1)
+    env = fns[0]()
+    assert isinstance(env, wrappers.StackedFrames)
+    obs, share, avail = env.reset()
+    assert obs.shape == (2, 12) and share.shape == (2, 18)
+
+    cfg2 = SimpleNamespace(use_stacked_frames=False, stacked_frames=1)
+    env2 = train_smac.make_env_fns(ns, cfg2, 1, base_seed=1)[0]()
+    assert isinstance(env2, FakeSMAC)
