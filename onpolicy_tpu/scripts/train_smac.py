@@ -58,13 +58,27 @@ def make_env_fns(ns, cfg, n, base_seed):
         from onpolicy_tpu.envs.starcraft2.smacv2_env import SMACv2Env
         dist = parse_smacv2_distribution(
             SimpleNamespace(units=ns.units, map_name=ns.map_name))
+        # StarCraft2v2 = the reference's SMACv2_modified (agent-specific
+        # state + per-agent dones); SMACv2 = the plain wrapper
+        modified = ns.env_name == "StarCraft2v2"
+        if cfg.use_obs_instead_of_state:
+            v2_state = "concat"
+        else:
+            v2_state = "agent_feature" if modified else "env"
 
         def fn(rank):
             return lambda: SMACv2Env(ns.map_name, dist,
-                                     seed=base_seed + rank * 1000)
+                                     seed=base_seed + rank * 1000,
+                                     state_type=v2_state,
+                                     per_agent_dones=modified)
     else:
         from onpolicy_tpu.envs.starcraft2.smac_env import SMACEnv
-        state_type = "agent_feature" if ns.use_state_agent else "env"
+        # use_obs_instead_of_state short-circuits both state families to
+        # the concat-of-obs state (StarCraft2_Env.py:1156-1158,1352-1354)
+        if cfg.use_obs_instead_of_state:
+            state_type = "concat"
+        else:
+            state_type = "agent_feature" if ns.use_state_agent else "env"
         state_options = {
             k: bool(getattr(ns, k)) for k in (
                 "add_center_xy", "use_mustalive", "add_move_state",
