@@ -145,8 +145,12 @@ def _worker(remote, env_fn, protocol, idx, shm_specs):
 
 class HostVecEnv:
     def __init__(self, env_fns: Sequence[Callable], protocol: str = "share",
-                 context: str = "fork"):
+                 context: str = "fork", guard: bool = False):
+        """guard=True runs workers as non-daemon processes — the
+        reference's Guard*SubprocVecEnv variants (`env_wrappers.py:
+        177-232,578-657`) for envs that fork their own children (SC2)."""
         assert protocol in ("basic", "share", "choose", "choose_simple")
+        self._guard = guard
         self.protocol = protocol
         self.n_envs = N = len(env_fns)
         obs, share_obs, avail, M, spaces = _probe_env(env_fns[0], protocol)
@@ -179,7 +183,8 @@ class HostVecEnv:
         for i, fn in enumerate(env_fns):
             parent, child = ctx.Pipe()
             p = ctx.Process(target=_worker,
-                            args=(child, fn, protocol, i, specs), daemon=True)
+                            args=(child, fn, protocol, i, specs),
+                            daemon=not guard)
             p.start()
             child.close()
             self._remotes.append(parent)
