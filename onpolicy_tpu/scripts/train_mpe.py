@@ -38,10 +38,8 @@ def main(argv=None):
     else:
         runner = Runner(cfg)
     key = jax.random.PRNGKey(cfg.seed)
-    kwargs = {}
-    if cfg.share_policy:
-        kwargs["save_dir"] = run_dir / "models"
-    state, history = runner.run(key, log_fn=logger, **kwargs)
+    state, history = runner.run(key, log_fn=logger,
+                                save_dir=run_dir / "models")
     logger.close()
     return state, history
 
