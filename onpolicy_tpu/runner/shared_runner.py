@@ -238,10 +238,23 @@ class SharedRunner:
         key, k_init = jax.random.split(key)
         train_state, carry = self.init(k_init)
 
+        # exact resume (beyond the reference's weights-only restore,
+        # base_runner.py:153-162): carry (incl. on-device env states) and
+        # episode counter round-trip through the checkpoint's extra file
+        start_episode = 0
+        if cfg.model_dir:
+            _, start_episode, saved_key = ckpt_lib.restore(
+                cfg.model_dir, train_state)
+            extra = ckpt_lib.restore_extra(cfg.model_dir, carry)
+            if extra is not None:
+                carry = jax.tree_util.tree_map(jnp.asarray, extra)
+            if saved_key is not None:
+                key = saved_key
+
         start = time.perf_counter()
         history = []
         E = max(cfg.episodes_per_call, 1)
-        for episode in range(0, self.episodes, E):
+        for episode in range(start_episode, self.episodes, E):
             key, k_ep = jax.random.split(key)
             trace_now = (cfg.profile_dir is not None and 2 <= episode < 2 + E)
             # capture one profiler trace on a post-compile episode
@@ -252,12 +265,16 @@ class SharedRunner:
                     jax.block_until_ready(metrics["value_loss"])
             if save_dir and (episode % max(cfg.save_interval, 1) < E
                              or episode + E >= self.episodes):
-                ckpt_lib.save(save_dir, train_state, step=episode, key=key)
+                ckpt_lib.save(save_dir, train_state,
+                              step=min(episode + E, self.episodes), key=key,
+                              extra=carry)
             if episode % cfg.log_interval < E or episode + E >= self.episodes:
                 metrics = jax.device_get(metrics)
                 total_steps = min(episode + E, self.episodes) \
                     * cfg.episode_length * self.N
-                fps = total_steps / (time.perf_counter() - start)
+                run_steps = (min(episode + E, self.episodes) - start_episode) \
+                    * cfg.episode_length * self.N
+                fps = run_steps / (time.perf_counter() - start)
                 row = {"episode": episode, "steps": total_steps,
                        "fps": fps, **{k: float(v) for k, v in metrics.items()}}
                 if self._eval_fn is not None and cfg.use_eval \

@@ -22,7 +22,9 @@ from flax import serialization
 
 
 def save(ckpt_dir, state: Any, step: int = 0, key=None,
-         metadata: Optional[dict] = None) -> Path:
+         metadata: Optional[dict] = None, extra: Any = None) -> Path:
+    """`extra` (e.g. the rollout carry with on-device env states) goes to
+    a sibling file so existing weights-only consumers stay compatible."""
     d = Path(ckpt_dir)
     d.mkdir(parents=True, exist_ok=True)
     payload = {
@@ -32,6 +34,9 @@ def save(ckpt_dir, state: Any, step: int = 0, key=None,
     }
     path = d / f"ckpt_{step}.msgpack"
     path.write_bytes(serialization.to_bytes(payload))
+    if extra is not None:
+        (d / f"ckpt_{step}.extra.msgpack").write_bytes(
+            serialization.to_bytes(jax.device_get(extra)))
     (d / "latest.txt").write_text(path.name)
     if metadata:
         (d / f"ckpt_{step}.meta.json").write_text(json.dumps(metadata))
@@ -68,3 +73,20 @@ def restore(ckpt_dir, target_state: Any, key=None
     if restored_key is not None:
         restored_key = jax.numpy.asarray(restored_key)
     return payload["state"], int(payload["step"]), restored_key
+
+
+def restore_extra(ckpt_dir, template: Any) -> Optional[Any]:
+    """Restore the sibling `extra` pytree saved next to the latest
+    checkpoint (None when the checkpoint was weights-only)."""
+    path = Path(ckpt_dir)
+    if path.is_dir():
+        path = latest_path(path)
+        if path is None:
+            return None
+    extra_path = path.with_suffix("").with_suffix(".extra.msgpack") \
+        if path.name.endswith(".extra.msgpack") else \
+        path.parent / (path.stem + ".extra.msgpack")
+    if not extra_path.exists():
+        return None
+    return serialization.from_bytes(jax.device_get(template),
+                                    extra_path.read_bytes())

@@ -48,3 +48,37 @@ def test_latest_pointer(tmp_path):
     ckpt.save(tmp_path, ts, step=1)
     ckpt.save(tmp_path, ts, step=5)
     assert ckpt.latest_path(tmp_path).name == "ckpt_5.msgpack"
+
+
+def test_exact_resume_continues_run(tmp_path):
+    """A resumed run must replay the tail of an uninterrupted run exactly:
+    same episode numbering, identical params (carry + RNG round-trip)."""
+    args = [
+        "--algorithm_name", "mappo", "--scenario_name", "simple_spread",
+        "--n_rollout_threads", "4", "--episode_length", "10",
+        "--ppo_epoch", "2", "--hidden_size", "32",
+        "--save_interval", "1", "--log_interval", "1",
+    ]
+    # uninterrupted: 4 episodes
+    cfg_full = config_from_args(args + ["--num_env_steps", "160"])
+    full = SharedRunner(cfg_full)
+    ts_full, hist_full = full.run(jax.random.PRNGKey(3), log_fn=None,
+                                  save_dir=tmp_path / "full")
+
+    # first half: 2 episodes, checkpointing
+    cfg_a = config_from_args(args + ["--num_env_steps", "80"])
+    ra = SharedRunner(cfg_a)
+    ra.run(jax.random.PRNGKey(3), log_fn=None, save_dir=tmp_path / "half")
+
+    # resume to 4 episodes from the checkpoint
+    cfg_b = config_from_args(args + ["--num_env_steps", "160",
+                                     "--model_dir", str(tmp_path / "half")])
+    rb = SharedRunner(cfg_b)
+    ts_res, hist_res = rb.run(jax.random.PRNGKey(3), log_fn=None)
+
+    assert hist_res[0]["episode"] >= 2      # numbering continued
+    for a, b in zip(jax.tree_util.tree_leaves(
+                        jax.device_get(ts_full.actor_params)),
+                    jax.tree_util.tree_leaves(
+                        jax.device_get(ts_res.actor_params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

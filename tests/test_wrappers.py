@@ -51,13 +51,15 @@ def test_train_smac_wires_stacked_frames(monkeypatch):
                          add_local_obs=False, add_distance_state=False,
                          add_xy_state=False, add_visible_state=False,
                          add_enemy_action_state=False, add_agent_id=False)
-    cfg = SimpleNamespace(use_stacked_frames=True, stacked_frames=3)
+    cfg = SimpleNamespace(use_stacked_frames=True, stacked_frames=3,
+                          use_obs_instead_of_state=False)
     fns = train_smac.make_env_fns(ns, cfg, 2, base_seed=1)
     env = fns[0]()
     assert isinstance(env, wrappers.StackedFrames)
     obs, share, avail = env.reset()
     assert obs.shape == (2, 12) and share.shape == (2, 18)
 
-    cfg2 = SimpleNamespace(use_stacked_frames=False, stacked_frames=1)
+    cfg2 = SimpleNamespace(use_stacked_frames=False, stacked_frames=1,
+                           use_obs_instead_of_state=False)
     env2 = train_smac.make_env_fns(ns, cfg2, 1, base_seed=1)[0]()
     assert isinstance(env2, FakeSMAC)
