@@ -39,10 +39,11 @@ from onpolicy_tpu.utils import spaces as sp
 
 
 class SeparatedRunner:
-    def __init__(self, cfg, vec_env=None):
+    def __init__(self, cfg, vec_env=None, eval_env=None):
         cfg = cfg.validate()
         self.cfg = cfg
         self.envs = vec_env if vec_env is not None else make_vec_env(cfg)
+        self.eval_envs = eval_env
         self.num_agents = M = self.envs.num_agents
         self.N = self.envs.n_envs
         self.episodes = int(cfg.num_env_steps) // cfg.episode_length // self.N
@@ -191,6 +192,42 @@ class SeparatedRunner:
                 lambda s, c, k: self._episode(order, s, c, k))
         return self._episode_cache[order](states, carry, key)
 
+    # ---- deterministic eval (jitted; separated/mpe_runner.py eval) ----
+    def _eval_episode(self, states, key):
+        cfg = self.cfg
+        env = self.eval_envs
+        N, M = env.n_envs, self.num_agents
+        max_heads = max(sp.action_storage_dim(s)
+                        for s in self.envs.action_space)
+        key, k_reset = jax.random.split(key)
+        env_states, obs = env.reset(k_reset)
+        c = {"env_states": env_states, "obs": tuple(obs),
+             "rnn": tuple(jnp.zeros((N, cfg.recurrent_N, cfg.hidden_size))
+                          for _ in range(M)),
+             "masks": jnp.ones((N, 1))}
+
+        def step_fn(c, step_key):
+            env_actions, rnn2 = [], []
+            for i in range(M):
+                actions, r = self.algos[i].act(
+                    states[i], c["obs"][i], c["rnn"][i], c["masks"],
+                    deterministic=True)
+                pad = max_heads - actions.shape[-1]
+                env_actions.append(jnp.pad(actions, ((0, 0), (0, pad))))
+                rnn2.append(r)
+            acts = jnp.stack(env_actions, axis=1)
+            env_states, obs2, rewards, dones = env.step(
+                c["env_states"], acts, step_key)
+            masks = 1.0 - dones[:, :1].astype(jnp.float32)
+            c = {"env_states": env_states, "obs": tuple(obs2),
+                 "rnn": tuple(r * masks[:, None] for r in rnn2),
+                 "masks": masks}
+            return c, rewards
+
+        _, rewards = jax.lax.scan(
+            step_fn, c, jax.random.split(key, cfg.episode_length))
+        return jnp.mean(jnp.sum(rewards, axis=0))
+
     # ---- host loop ----------------------------------------------------
     def run(self, key: Optional[jax.Array] = None, log_fn=print,
             save_dir=None):
@@ -218,6 +255,13 @@ class SeparatedRunner:
                 row = {"episode": episode, "steps": total_steps, "fps": fps,
                        "average_episode_rewards":
                            float(metrics["average_episode_rewards"])}
+                if self.eval_envs is not None and cfg.use_eval \
+                        and episode % cfg.eval_interval == 0:
+                    if not hasattr(self, "_eval_fn"):
+                        self._eval_fn = jax.jit(self._eval_episode)
+                    key, k_ev = jax.random.split(key)
+                    row["eval_average_episode_rewards"] = float(
+                        self._eval_fn(states, k_ev))
                 for i in range(self.num_agents):
                     for k, v in metrics[f"agent{i}"].items():
                         row[f"agent{i}/{k}"] = float(v)

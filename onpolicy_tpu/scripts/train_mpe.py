@@ -31,7 +31,7 @@ def main(argv=None):
 
     run_dir = make_run_dir(cfg)
     logger = MetricsLogger(run_dir, cfg)
-    if cfg.use_eval and cfg.share_policy:
+    if cfg.use_eval:
         from onpolicy_tpu.envs.mpe import make_vec_env
         eval_env = make_vec_env(cfg, n_envs=cfg.n_eval_rollout_threads)
         runner = Runner(cfg, eval_env=eval_env)
