@@ -28,10 +28,12 @@ from onpolicy_tpu.utils import spaces as sp
 
 
 class HostSeparatedRunner:
-    def __init__(self, cfg, vec_env, env_metrics: Optional[Callable] = None):
+    def __init__(self, cfg, vec_env, eval_env=None,
+                 env_metrics: Optional[Callable] = None):
         cfg = cfg.validate()
         self.cfg = cfg
         self.envs = vec_env
+        self.eval_envs = eval_env
         self.num_agents = M = vec_env.num_agents
         self.N = vec_env.n_envs
         self.env_metrics = env_metrics
@@ -203,12 +205,68 @@ class HostSeparatedRunner:
                   "active": active, "bad": bad}
         return states, start2, flat
 
-    def run(self, key=None, log_fn=print):
+    # ---- deterministic evaluation (separated/smac_runner.py eval) ----
+    def evaluate(self, states, key=None, eval_episodes=None):
+        cfg = self.cfg
+        env = self.eval_envs or self.envs
+        key = key if key is not None else jax.random.PRNGKey(cfg.seed + 5)
+        eval_episodes = eval_episodes or cfg.eval_episodes
+        N, M = env.n_envs, self.num_agents
+        obs, share_obs, avail = env.reset()
+        rnn = np.zeros((N, M, cfg.recurrent_N, cfg.hidden_size), np.float32)
+        masks = np.ones((N, M, 1), np.float32)
+        ep_rewards, wins, acc = [], [], np.zeros(N)
+        if not hasattr(self, "_eval_act"):
+            def act_all(states, obs, rnn, masks, avail):
+                outs = []
+                for i, algo in enumerate(self.algos):
+                    av = avail[:, i] if avail is not None else None
+                    a, r = algo.act(states[i], obs[:, i], rnn[:, i],
+                                    masks[:, i], available_actions=av,
+                                    deterministic=True)
+                    outs.append((a, r))
+                return (jnp.stack([o[0] for o in outs], 1),
+                        jnp.stack([o[1] for o in outs], 1))
+            self._eval_act = jax.jit(act_all)
+        guard = 0
+        while len(ep_rewards) < eval_episodes and guard < 100000:
+            guard += 1
+            actions, rnn_j = self._eval_act(
+                states, jnp.asarray(obs), jnp.asarray(rnn),
+                jnp.asarray(masks),
+                jnp.asarray(avail) if avail is not None else None)
+            obs, share_obs, rewards, dones, infos, avail = env.step(
+                np.asarray(actions))
+            acc += np.asarray(rewards).reshape(N, M, 1).mean(axis=(1, 2))
+            dones = np.asarray(dones).reshape(N, M)
+            dones_env = dones.all(axis=1)
+            rnn = np.array(rnn_j)
+            rnn[dones_env] = 0.0
+            masks = np.ones((N, M, 1), np.float32)
+            masks[dones_env] = 0.0
+            for n in np.flatnonzero(dones_env):
+                ep_rewards.append(acc[n])
+                acc[n] = 0.0
+                im = infos[n][0] if isinstance(infos[n], (list, tuple)) \
+                    else infos[n]
+                if isinstance(im, dict) and "won" in im:
+                    wins.append(1.0 if im["won"] else 0.0)
+        result = {"eval_average_episode_rewards":
+                  float(np.mean(ep_rewards)) if ep_rewards else 0.0}
+        if wins:
+            result["eval_win_rate"] = float(np.mean(wins))
+        return result
+
+    def run(self, key=None, log_fn=print, save_dir=None):
+        from onpolicy_tpu.utils import checkpoint as ckpt_lib
         cfg = self.cfg
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
         key, k0 = jax.random.split(key)
         states = tuple(a.init_state(jax.random.fold_in(k0, i))
                        for i, a in enumerate(self.algos))
+        if cfg.model_dir:
+            restored, _, _ = ckpt_lib.restore(cfg.model_dir, states)
+            states = jax.tree_util.tree_map(jnp.asarray, restored)
         out = self.envs.reset()
         obs, share_obs, avail = out
         if not cfg.use_centralized_V:
@@ -222,10 +280,18 @@ class HostSeparatedRunner:
             order = tuple(int(x) for x in rng.permutation(self.num_agents)) \
                 if self.is_happo else tuple(range(self.num_agents))
             states, start, metrics = self.run_episode(states, start, k, order)
+            if save_dir and (ep % max(cfg.save_interval, 1) == 0
+                             or ep == self.episodes - 1):
+                from onpolicy_tpu.utils import checkpoint as ckpt_lib
+                ckpt_lib.save(save_dir, states, step=ep, key=key)
             if ep % cfg.log_interval == 0 or ep == self.episodes - 1:
                 steps = (ep + 1) * cfg.episode_length * self.N
                 row = {"episode": ep, "steps": steps,
                        "fps": steps / (time.perf_counter() - t0), **metrics}
+                if cfg.use_eval and self.eval_envs is not None \
+                        and ep % cfg.eval_interval == 0:
+                    key, k_ev = jax.random.split(key)
+                    row.update(self.evaluate(states, k_ev))
                 history.append(row)
                 if log_fn is print:
                     print(f"ep {ep} steps {steps} "

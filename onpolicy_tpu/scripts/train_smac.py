@@ -50,7 +50,7 @@ def parse_args(argv):
     return ns
 
 
-def make_env_fns(ns, cfg, n, base_seed):
+def make_env_fns(ns, cfg, n, base_seed, seed_stride=1000):
     is_v2 = ns.env_name in ("StarCraft2v2", "SMACv2")
     if is_v2:
         from onpolicy_tpu.envs.starcraft2.distributions import \
@@ -68,7 +68,7 @@ def make_env_fns(ns, cfg, n, base_seed):
 
         def fn(rank):
             return lambda: SMACv2Env(ns.map_name, dist,
-                                     seed=base_seed + rank * 1000,
+                                     seed=base_seed + rank * seed_stride,
                                      state_type=v2_state,
                                      per_agent_dones=modified)
     else:
@@ -88,7 +88,7 @@ def make_env_fns(ns, cfg, n, base_seed):
 
         def fn(rank):
             return lambda: SMACEnv(ns.map_name,
-                                   seed=base_seed + rank * 1000,
+                                   seed=base_seed + rank * seed_stride,
                                    state_type=state_type,
                                    state_options=state_options)
     if cfg.use_stacked_frames:
@@ -117,14 +117,21 @@ def main(argv=None):
     env_fns = make_env_fns(ns, cfg, cfg.n_rollout_threads, cfg.seed)
     Pool = DummyVecEnv if cfg.n_rollout_threads == 1 else HostVecEnv
     envs = Pool(env_fns, protocol="share")
+    eval_envs = None
+    if cfg.use_eval:
+        # eval seeding scheme: seed*50000 + rank*10000 (train_smac.py:80-99)
+        eval_fns = make_env_fns(ns, cfg, cfg.n_eval_rollout_threads,
+                                cfg.seed * 50000, seed_stride=10000)
+        EPool = DummyVecEnv if cfg.n_eval_rollout_threads == 1 else HostVecEnv
+        eval_envs = EPool(eval_fns, protocol="share")
 
     from onpolicy_tpu.envs.starcraft2.smac_env import smac_win_rate_metrics
     if cfg.algorithm_name in ("happo", "hatrpo"):
         from onpolicy_tpu.runner.host_separated_runner import             HostSeparatedRunner
-        runner = HostSeparatedRunner(cfg, envs,
+        runner = HostSeparatedRunner(cfg, envs, eval_env=eval_envs,
                                      env_metrics=smac_win_rate_metrics())
     else:
-        runner = HostSharedRunner(cfg, envs,
+        runner = HostSharedRunner(cfg, envs, eval_env=eval_envs,
                                   env_metrics=smac_win_rate_metrics())
     run_dir = make_run_dir(cfg)
     logger = MetricsLogger(run_dir, cfg)
@@ -133,6 +140,8 @@ def main(argv=None):
                                     log_fn=logger)
     finally:
         envs.close()
+        if eval_envs is not None:
+            eval_envs.close()
         logger.close()
     return state, history
 

@@ -244,3 +244,37 @@ def test_choose_simple_protocol():
         assert obs2[0, 0, 0] == 0 and obs2[1, 0, 0] == 6
     finally:
         env.close()
+
+
+def test_host_separated_eval_and_checkpoint(tmp_path):
+    """HostSeparatedRunner: eval env path, eval_win_rate, checkpoint save
+    + model_dir restore (parity: separated smac runner eval + per-agent
+    save/restore, separated/base_runner.py:185-203)."""
+    from onpolicy_tpu.runner.host_separated_runner import HostSeparatedRunner
+    from onpolicy_tpu.config import config_from_args
+    args = [
+        "--algorithm_name", "happo", "--episode_length", "10",
+        "--data_chunk_length", "5", "--n_rollout_threads", "2",
+        "--num_env_steps", "40", "--ppo_epoch", "1", "--hidden_size", "32",
+        "--use_eval", "--eval_interval", "1", "--eval_episodes", "2",
+        "--log_interval", "1",
+    ]
+    cfg = config_from_args(args)
+    env = DummyVecEnv([lambda s=i: MockSmacEnv(s) for i in range(2)],
+                      protocol="share")
+    ev = DummyVecEnv([lambda s=i: MockSmacEnv(100 + s) for i in range(2)],
+                     protocol="share")
+    try:
+        runner = HostSeparatedRunner(cfg, env, eval_env=ev)
+        states, hist = runner.run(jax.random.PRNGKey(0), log_fn=None,
+                                  save_dir=tmp_path)
+        assert any("eval_average_episode_rewards" in r for r in hist)
+        # restore into a fresh runner
+        cfg2 = config_from_args(args + ["--model_dir", str(tmp_path)])
+        runner2 = HostSeparatedRunner(cfg2, env)
+        states2, _ = runner2.run(jax.random.PRNGKey(1), log_fn=None)
+        assert np.isfinite(
+            np.asarray(jax.tree_util.tree_leaves(states2)[0])).all()
+    finally:
+        env.close()
+        ev.close()
