@@ -248,6 +248,12 @@ class HanabiRunner:
                        "fps": steps_total / (time.perf_counter() - start),
                        "average_score": float(np.mean(ep_scores))
                        if ep_scores else 0.0, **metrics}
+                if cfg.use_eval and self.eval_envs is not None \
+                        and episode % cfg.eval_interval == 0:
+                    key, k_ev = jax.random.split(key)
+                    row["eval_average_score"] = self.evaluate(
+                        train_state, cfg.eval_episodes, key=k_ev,
+                        env=self.eval_envs)
                 history.append(row)
                 if log_fn is print:
                     print(f"ep {episode} steps {steps_total} "

@@ -29,12 +29,21 @@ def main(argv=None):
     overrides["scenario_name"] = ns.hanabi_name
     cfg = canonicalize_algorithm(Config(**overrides)).validate()
 
-    runner = HanabiRunner(cfg)
+    eval_env = None
+    if cfg.use_eval:
+        from onpolicy_tpu.envs.hanabi.hanabi_env import HanabiVecEnv
+        eval_env = HanabiVecEnv(
+            cfg.scenario_name if cfg.scenario_name.startswith("Hanabi")
+            else "Hanabi-Small", cfg.num_agents,
+            cfg.n_eval_rollout_threads, seed=cfg.seed * 50000,
+            use_obs_instead_of_state=cfg.use_obs_instead_of_state)
+    runner = HanabiRunner(cfg, eval_env=eval_env)
     run_dir = make_run_dir(cfg)
     logger = MetricsLogger(run_dir, cfg)
     try:
         state, history = runner.run(jax.random.PRNGKey(cfg.seed),
-                                    log_fn=logger)
+                                    log_fn=logger,
+                                    save_dir=run_dir / "models")
     finally:
         logger.close()
     return state, history, runner
