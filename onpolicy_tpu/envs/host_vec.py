@@ -150,7 +150,6 @@ class HostVecEnv:
         reference's Guard*SubprocVecEnv variants (`env_wrappers.py:
         177-232,578-657`) for envs that fork their own children (SC2)."""
         assert protocol in ("basic", "share", "choose", "choose_simple")
-        self._guard = guard
         self.protocol = protocol
         self.n_envs = N = len(env_fns)
         obs, share_obs, avail, M, spaces = _probe_env(env_fns[0], protocol)

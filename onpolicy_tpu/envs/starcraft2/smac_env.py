@@ -58,8 +58,9 @@ class SMACEnv:
         obs_dim = info["obs_shape"]
         state_dim = info["state_shape"]
         from onpolicy_tpu.envs.starcraft2 import state_builder as sb
+        self._state_options = dict(state_options or {})
         self._sb_cfg = dataclasses.replace(
-            sb.config_from_smac(self.env), **(state_options or {}))
+            sb.config_from_smac(self.env), **self._state_options)
         if state_type == "concat":
             share_dim = obs_dim * M
         elif state_type == "agent":
@@ -97,6 +98,17 @@ class SMACEnv:
         avail = np.asarray(self.env.get_avail_actions(), np.float32)
         return obs, self._share_obs(obs), avail
 
+    def _refresh_cfg(self):
+        """Re-read engine geometry AFTER launch: smac's StarCraft2Env sets
+        map_x/map_y/max_distance_* only in _launch() (first reset) — the
+        values captured at __init__ are zeros, which would make every
+        center-xy feature divide by zero. Feature COUNTS don't depend on
+        geometry, so share_dim from __init__ stays valid."""
+        import dataclasses as _dc
+        from onpolicy_tpu.envs.starcraft2 import state_builder as sb
+        self._sb_cfg = _dc.replace(sb.config_from_smac(self.env),
+                                   **self._state_options)
+
     # ---- protocol ------------------------------------------------------
     def reset(self):
         try:
@@ -104,6 +116,7 @@ class SMACEnv:
         except Exception:
             self._restart()
             self.env.reset()
+        self._refresh_cfg()
         return self._gather()
 
     def _restart(self):

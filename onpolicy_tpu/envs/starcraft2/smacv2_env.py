@@ -52,8 +52,9 @@ class SMACv2Env:
         obs_dim = info["obs_shape"]
         state_dim = info["state_shape"]
         from onpolicy_tpu.envs.starcraft2 import state_builder as sb
+        self._state_options = dict(state_options or {})
         self._sb_cfg = dataclasses.replace(
-            sb.config_from_smac(self.env.env), **(state_options or {}))
+            sb.config_from_smac(self.env.env), **self._state_options)
         if state_type == "concat":
             share_dim = obs_dim * M
         elif state_type == "agent":
@@ -86,7 +87,11 @@ class SMACv2Env:
         return obs, self._share_obs(obs), avail
 
     def reset(self):
+        from onpolicy_tpu.envs.starcraft2 import state_builder as sb
         self.env.reset()
+        # engine geometry (map_x/max_distance_*) exists only after launch
+        self._sb_cfg = dataclasses.replace(
+            sb.config_from_smac(self.env.env), **self._state_options)
         return self._gather()
 
     def step(self, actions):

@@ -240,6 +240,12 @@ class HanabiRunner:
             if save_dir and (episode % max(cfg.save_interval, 1) == 0
                              or episode == self.episodes - 1):
                 ckpt_lib.save(save_dir, train_state, step=episode, key=key)
+            if cfg.use_eval and self.eval_envs is not None \
+                    and episode % cfg.eval_interval == 0:
+                key, k_ev = jax.random.split(key)
+                metrics["eval_average_score"] = self.evaluate(
+                    train_state, cfg.eval_episodes, key=k_ev,
+                    env=self.eval_envs)
             if (episode % cfg.log_interval == 0 and episode > 0) \
                     or episode == self.episodes - 1:
                 steps_total = (episode + 1) * T * self.N
@@ -248,12 +254,6 @@ class HanabiRunner:
                        "fps": steps_total / (time.perf_counter() - start),
                        "average_score": float(np.mean(ep_scores))
                        if ep_scores else 0.0, **metrics}
-                if cfg.use_eval and self.eval_envs is not None \
-                        and episode % cfg.eval_interval == 0:
-                    key, k_ev = jax.random.split(key)
-                    row["eval_average_score"] = self.evaluate(
-                        train_state, cfg.eval_episodes, key=k_ev,
-                        env=self.eval_envs)
                 history.append(row)
                 if log_fn is print:
                     print(f"ep {episode} steps {steps_total} "

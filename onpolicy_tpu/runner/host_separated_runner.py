@@ -284,14 +284,14 @@ class HostSeparatedRunner:
                              or ep == self.episodes - 1):
                 from onpolicy_tpu.utils import checkpoint as ckpt_lib
                 ckpt_lib.save(save_dir, states, step=ep, key=key)
+            if cfg.use_eval and self.eval_envs is not None \
+                    and ep % cfg.eval_interval == 0:
+                key, k_ev = jax.random.split(key)
+                metrics.update(self.evaluate(states, k_ev))
             if ep % cfg.log_interval == 0 or ep == self.episodes - 1:
                 steps = (ep + 1) * cfg.episode_length * self.N
                 row = {"episode": ep, "steps": steps,
                        "fps": steps / (time.perf_counter() - t0), **metrics}
-                if cfg.use_eval and self.eval_envs is not None \
-                        and ep % cfg.eval_interval == 0:
-                    key, k_ev = jax.random.split(key)
-                    row.update(self.evaluate(states, k_ev))
                 history.append(row)
                 if log_fn is print:
                     print(f"ep {ep} steps {steps} "

@@ -248,6 +248,13 @@ class SeparatedRunner:
             if save_dir and (episode % max(cfg.save_interval, 1) == 0
                              or episode == self.episodes - 1):
                 ckpt_lib.save(save_dir, states, step=episode, key=key)
+            eval_val = None
+            if self.eval_envs is not None and cfg.use_eval \
+                    and episode % cfg.eval_interval == 0:
+                if not hasattr(self, "_eval_fn"):
+                    self._eval_fn = jax.jit(self._eval_episode)
+                key, k_ev = jax.random.split(key)
+                eval_val = float(self._eval_fn(states, k_ev))
             if episode % cfg.log_interval == 0 or episode == self.episodes - 1:
                 metrics = jax.device_get(metrics)
                 total_steps = (episode + 1) * cfg.episode_length * self.N
@@ -255,13 +262,8 @@ class SeparatedRunner:
                 row = {"episode": episode, "steps": total_steps, "fps": fps,
                        "average_episode_rewards":
                            float(metrics["average_episode_rewards"])}
-                if self.eval_envs is not None and cfg.use_eval \
-                        and episode % cfg.eval_interval == 0:
-                    if not hasattr(self, "_eval_fn"):
-                        self._eval_fn = jax.jit(self._eval_episode)
-                    key, k_ev = jax.random.split(key)
-                    row["eval_average_episode_rewards"] = float(
-                        self._eval_fn(states, k_ev))
+                if eval_val is not None:
+                    row["eval_average_episode_rewards"] = eval_val
                 for i in range(self.num_agents):
                     for k, v in metrics[f"agent{i}"].items():
                         row[f"agent{i}/{k}"] = float(v)

@@ -95,9 +95,12 @@ class SharedRunner:
         """→ (train_state, carry) — carry is the rollout collection state."""
         k_model, k_env = jax.random.split(key)
         train_state = self.algo.init_state(k_model)
+        self._restore_meta = None          # (step, key) when resuming
         if self.cfg.model_dir:
-            restored, _, _ = ckpt_lib.restore(self.cfg.model_dir, train_state)
+            restored, step, rkey = ckpt_lib.restore(self.cfg.model_dir,
+                                                    train_state)
             train_state = jax.tree_util.tree_map(jnp.asarray, restored)
+            self._restore_meta = (step, rkey)
         env_states, obs = self.envs.reset(k_env)
         carry = self._fresh_carry(env_states, obs)
         if len(self.mesh.devices.flat) > 1:
@@ -242,9 +245,8 @@ class SharedRunner:
         # base_runner.py:153-162): carry (incl. on-device env states) and
         # episode counter round-trip through the checkpoint's extra file
         start_episode = 0
-        if cfg.model_dir:
-            _, start_episode, saved_key = ckpt_lib.restore(
-                cfg.model_dir, train_state)
+        if getattr(self, "_restore_meta", None) is not None:
+            start_episode, saved_key = self._restore_meta
             extra = ckpt_lib.restore_extra(cfg.model_dir, carry)
             if extra is not None:
                 carry = jax.tree_util.tree_map(jnp.asarray, extra)
@@ -263,11 +265,12 @@ class SharedRunner:
                     train_state, carry, k_ep)
                 if trace_now:
                     jax.block_until_ready(metrics["value_loss"])
-            if save_dir and (episode % max(cfg.save_interval, 1) < E
-                             or episode + E >= self.episodes):
-                ckpt_lib.save(save_dir, train_state,
-                              step=min(episode + E, self.episodes), key=key,
-                              extra=carry)
+            # eval fires on its own schedule, independent of logging
+            eval_row = None
+            if self._eval_fn is not None and cfg.use_eval \
+                    and episode % cfg.eval_interval < E:
+                key, k_ev = jax.random.split(key)
+                eval_row = float(self._eval_fn(train_state, k_ev))
             if episode % cfg.log_interval < E or episode + E >= self.episodes:
                 metrics = jax.device_get(metrics)
                 total_steps = min(episode + E, self.episodes) \
@@ -277,11 +280,8 @@ class SharedRunner:
                 fps = run_steps / (time.perf_counter() - start)
                 row = {"episode": episode, "steps": total_steps,
                        "fps": fps, **{k: float(v) for k, v in metrics.items()}}
-                if self._eval_fn is not None and cfg.use_eval \
-                        and episode % cfg.eval_interval == 0:
-                    key, k_ev = jax.random.split(key)
-                    row["eval_average_episode_rewards"] = float(
-                        self._eval_fn(train_state, k_ev))
+                if eval_row is not None:
+                    row["eval_average_episode_rewards"] = eval_row
                 history.append(row)
                 if log_fn is print:
                     print(f"ep {episode} steps {total_steps} "
@@ -291,4 +291,17 @@ class SharedRunner:
                           f"ploss {row['policy_loss']:.3f}")
                 elif log_fn is not None:
                     log_fn(row)
+            elif eval_row is not None:
+                row = {"episode": episode,
+                       "eval_average_episode_rewards": eval_row}
+                history.append(row)
+                if log_fn not in (print, None):
+                    log_fn(row)
+            # save LAST so the checkpointed key reflects the eval split —
+            # a resumed run then replays the uninterrupted key sequence
+            if save_dir and (episode % max(cfg.save_interval, 1) < E
+                             or episode + E >= self.episodes):
+                ckpt_lib.save(save_dir, train_state,
+                              step=min(episode + E, self.episodes), key=key,
+                              extra=carry)
         return train_state, history

@@ -22,7 +22,9 @@ def parse_args(argv):
     p.add_argument("--rewards", type=str, default="scoring,checkpoints")
     # reference render_football.py:87 --save_videos (.avi via the engine's
     # write_video); we render mp4 via imageio when available, else gif
-    p.add_argument("--save_videos", nargs="?", const=True, default=False)
+    from onpolicy_tpu.config import _parse_bool
+    p.add_argument("--save_videos", nargs="?", const=True, default=False,
+                   type=_parse_bool)
     p.add_argument("--video_dir", type=str, default="")
     return p.parse_args(argv)
 

@@ -49,7 +49,8 @@ def latest_path(ckpt_dir) -> Optional[Path]:
     if pointer.exists():
         p = d / pointer.read_text().strip()
         return p if p.exists() else None
-    cands = sorted(d.glob("ckpt_*.msgpack"),
+    cands = sorted((p for p in d.glob("ckpt_*.msgpack")
+                    if p.stem.split("_")[1].isdigit()),
                    key=lambda p: int(p.stem.split("_")[1]))
     return cands[-1] if cands else None
 

@@ -58,22 +58,26 @@ def test_exact_resume_continues_run(tmp_path):
         "--n_rollout_threads", "4", "--episode_length", "10",
         "--ppo_epoch", "2", "--hidden_size", "32",
         "--save_interval", "1", "--log_interval", "1",
+        "--use_eval", "--eval_interval", "1",
+        "--n_eval_rollout_threads", "2",
     ]
-    # uninterrupted: 4 episodes
+    from onpolicy_tpu.envs.mpe import make_vec_env
+    # uninterrupted: 4 episodes (with eval on, so the eval key split is
+    # part of the replayed sequence)
     cfg_full = config_from_args(args + ["--num_env_steps", "160"])
-    full = SharedRunner(cfg_full)
+    full = SharedRunner(cfg_full, eval_env=make_vec_env(cfg_full, n_envs=2))
     ts_full, hist_full = full.run(jax.random.PRNGKey(3), log_fn=None,
                                   save_dir=tmp_path / "full")
 
     # first half: 2 episodes, checkpointing
     cfg_a = config_from_args(args + ["--num_env_steps", "80"])
-    ra = SharedRunner(cfg_a)
+    ra = SharedRunner(cfg_a, eval_env=make_vec_env(cfg_a, n_envs=2))
     ra.run(jax.random.PRNGKey(3), log_fn=None, save_dir=tmp_path / "half")
 
     # resume to 4 episodes from the checkpoint
     cfg_b = config_from_args(args + ["--num_env_steps", "160",
                                      "--model_dir", str(tmp_path / "half")])
-    rb = SharedRunner(cfg_b)
+    rb = SharedRunner(cfg_b, eval_env=make_vec_env(cfg_b, n_envs=2))
     ts_res, hist_res = rb.run(jax.random.PRNGKey(3), log_fn=None)
 
     assert hist_res[0]["episode"] >= 2      # numbering continued
