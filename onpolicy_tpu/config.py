@@ -62,6 +62,11 @@ class Config:
     use_recurrent_policy: bool = True
     recurrent_N: int = 1
     data_chunk_length: int = 10
+    # Fused Pallas TPU kernel for the sequence-mode GRU (training path).
+    # Off by default; numerically equivalent to the lax.scan path
+    # (tests/test_pallas_gru.py). No reference analogue (the reference
+    # relies on cuDNN, rnn.py:30-77).
+    use_pallas_gru: bool = False
 
     # ---- optimizer ----
     lr: float = 5e-4

@@ -82,6 +82,10 @@ def sequence(cfg, params, xs: jax.Array, hxs: jax.Array, masks: jax.Array):
     hxs: [B, recurrent_N, H] initial state; masks: [T, B, 1].
     Returns (outs [T, B, H], final_hxs [B, recurrent_N, H]).
     """
+    if getattr(cfg, "use_pallas_gru", False):
+        from onpolicy_tpu.ops import pallas_gru
+        return pallas_gru.sequence(cfg, params, xs, hxs, masks)
+
     def body(h, xm):
         x, m = xm
         h = h * m[..., None]

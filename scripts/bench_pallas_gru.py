@@ -1,0 +1,77 @@
+"""TPU micro-benchmark: fused Pallas GRU vs the lax.scan path.
+
+Shapes model recurrent PPO training minibatches:
+  MPE paper config: L=10 chunks, B = T*N*M/L = 25*128*3/10 = 960, H=64
+  Hanabi config:    L=10, large B, H=512
+Run: PYTHONPATH=/root/repo python scripts/bench_pallas_gru.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from onpolicy_tpu.config import Config
+from onpolicy_tpu.models import gru
+from onpolicy_tpu.ops import pallas_gru
+
+
+def bench(fn, args, iters=50):
+    out = jax.block_until_ready(fn(*args))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def main():
+    print("backend:", jax.default_backend())
+    for (T, B, D, H) in [(10, 960, 54, 64), (10, 4096, 54, 64),
+                         (10, 2048, 512, 512), (10, 8192, 512, 512)]:
+        cfg = Config(hidden_size=H, recurrent_N=1)
+        key = jax.random.PRNGKey(0)
+        params = gru.init(key, cfg, D)
+        xs = jax.random.normal(key, (T, B, D), jnp.float32)
+        hxs = jnp.zeros((B, 1, H), jnp.float32)
+        masks = (jax.random.uniform(jax.random.fold_in(key, 1),
+                                    (T, B, 1)) > 0.2).astype(jnp.float32)
+
+        def loss(params, use_pallas):
+            c = cfg.replace(use_pallas_gru=use_pallas)
+            outs, hT = gru.sequence(c, params, xs, hxs, masks)
+            return jnp.sum(outs * outs) + jnp.sum(hT)
+
+        fwd_scan = jax.jit(lambda p: loss(p, False))
+        fwd_pl = jax.jit(lambda p: loss(p, True))
+        g_scan = jax.jit(jax.grad(lambda p: loss(p, False)))
+        g_pl = jax.jit(jax.grad(lambda p: loss(p, True)))
+
+        # numerics check on-device
+        import numpy as np
+        np.testing.assert_allclose(fwd_pl(params), fwd_scan(params),
+                                   rtol=2e-3)
+        a = jax.tree_util.tree_leaves(g_pl(params))
+        b = jax.tree_util.tree_leaves(g_scan(params))
+        for x, y in zip(a, b):
+            # f32 reduction-order differences on the big dW sums
+            np.testing.assert_allclose(x, y, rtol=2e-2, atol=2e-2)
+
+        t_fs = bench(fwd_scan, (params,))
+        t_fp = bench(fwd_pl, (params,))
+        t_gs = bench(g_scan, (params,))
+        t_gp = bench(g_pl, (params,))
+        print(f"[T={T} B={B} D={D} H={H}] fwd scan {t_fs*1e6:8.1f}us "
+              f"pallas {t_fp*1e6:8.1f}us ({t_fs/t_fp:4.2f}x) | "
+              f"grad scan {t_gs*1e6:8.1f}us pallas {t_gp*1e6:8.1f}us "
+              f"({t_gs/t_gp:4.2f}x)")
+
+
+if __name__ == "__main__":
+    main()
