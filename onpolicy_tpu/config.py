@@ -67,6 +67,11 @@ class Config:
     # (tests/test_pallas_gru.py). No reference analogue (the reference
     # relies on cuDNN, rnn.py:30-77).
     use_pallas_gru: bool = False
+    # Hanabi: run the whole seat round as ONE jitted device program with
+    # the C++ engine stepped through ordered io_callbacks (1 dispatch per
+    # round instead of one per seat; staging math on device). Equivalent
+    # to the host loop (tests/test_hanabi_device_collect.py).
+    use_device_collect: bool = False
 
     # ---- optimizer ----
     lr: float = 5e-4

@@ -100,6 +100,216 @@ class HanabiRunner:
         return self._train_fn(train_state, buf, key)
 
     # ------------------------------------------------------------------
+    # host-loop seat round (one jitted policy dispatch per seat)
+    def _host_round(self, train_state, turn, use, key):
+        """One full seat round, mutating `turn` staging and `use`
+        obs/share/avail numpy arrays in place. Returns
+        (key, reset_choose [N] bool, finished-game scores list)."""
+        cfg, N, M = self.cfg, self.N, self.num_agents
+        reset_choose = np.zeros(N, bool)
+        ep_scores = []
+        for seat in range(M):
+            env_actions = np.full(N, -1, np.int64)
+            choose = np.any(use["avail"] == 1, axis=1)
+            if not choose.any():
+                reset_choose[:] = True
+                break
+            key, k_act = jax.random.split(key)
+            values, actions, logp, rnn, rnn_c = self._act_fn(
+                train_state, use["share"], use["obs"],
+                turn["rnn"][:, seat], turn["rnn_critic"][:, seat],
+                turn["masks"][:, seat], k_act, use["avail"])
+            values, actions, logp, rnn, rnn_c = map(
+                np.asarray, (values, actions, logp, rnn, rnn_c))
+
+            turn["obs"][choose, seat] = use["obs"][choose]
+            turn["share_obs"][choose, seat] = use["share"][choose]
+            turn["avail"][choose, seat] = use["avail"][choose]
+            turn["values"][choose, seat] = values[choose]
+            turn["actions"][choose, seat] = actions[choose]
+            turn["logp"][choose, seat] = logp[choose]
+            turn["rnn"][choose, seat] = rnn[choose]
+            turn["rnn_critic"][choose, seat] = rnn_c[choose]
+            env_actions[choose] = actions[choose, 0].astype(np.int64)
+
+            obs, share_obs, rewards, done, cur, avail, score = \
+                self.envs.step(env_actions)
+            if not cfg.use_centralized_V:
+                share_obs = obs
+            self.true_total_num_steps += int(choose.sum())
+            use["obs"], use["share"], use["avail"] = obs, share_obs, avail
+
+            # reward accrual since each seat's last action
+            turn["rewards"][choose, seat] = turn["accum"][choose, seat]
+            turn["accum"][choose, seat] = 0.0
+            turn["accum"][choose] += rewards[choose]
+
+            newly_done = done & choose
+            if newly_done.any():
+                nd = newly_done
+                reset_choose[nd] = True
+                use["avail"][nd] = 0.0
+                turn["masks"][nd] = 0.0
+                turn["rnn"][nd] = 0.0
+                turn["rnn_critic"][nd] = 0.0
+                turn["active"][nd, seat] = 1.0
+                if seat + 1 < M:
+                    turn["active"][nd, seat + 1:] = 0.0
+                    turn["rewards"][nd, seat + 1:] = \
+                        turn["accum"][nd, seat + 1:]
+                    turn["accum"][nd, seat + 1:] = 0.0
+                    turn["values"][nd, seat + 1:] = 0.0
+                    turn["obs"][nd, seat + 1:] = 0.0
+                    turn["share_obs"][nd, seat + 1:] = 0.0
+                ep_scores.extend(score[nd].tolist())
+            not_done = (~done) & choose
+            turn["masks"][not_done, seat] = 1.0
+            turn["active"][not_done, seat] = 1.0
+        return key, reset_choose, ep_scores
+
+    # ------------------------------------------------------------------
+    # device-collect path: the whole seat round (policy + staging math +
+    # env stepping via ordered io_callback) is ONE jitted program —
+    # 1 dispatch per buffer step instead of one per seat, and the
+    # turn-staging bookkeeping runs on device. Masked resets happen
+    # inside the round; `masks_insert` snapshots the pre-reset masks the
+    # buffer slotting needs. Exactly equivalent to _host_round
+    # (tests/test_hanabi_device_collect.py drives both bit-for-bit).
+    def _env_step_cb(self, env_actions):
+        obs, share, rewards, done, cur, avail, score = self.envs.step(
+            np.asarray(env_actions, np.int64))
+        if not self.cfg.use_centralized_V:
+            share = obs
+        return (obs.astype(np.float32), share.astype(np.float32),
+                rewards.astype(np.float32), np.asarray(done, np.bool_),
+                avail.astype(np.float32), np.asarray(score, np.float32))
+
+    def _env_reset_cb(self, reset_choose):
+        mask = np.asarray(reset_choose)
+        if mask.any():
+            obs, share, avail, _ = self.envs.reset(mask)
+            if not self.cfg.use_centralized_V:
+                share = obs
+            return (obs.astype(np.float32), share.astype(np.float32),
+                    avail.astype(np.float32))
+        N = self.N
+        Do = self.envs.obs_dim
+        Ds = self.envs.share_dim if self.cfg.use_centralized_V else Do
+        return (np.zeros((N, Do), np.float32),
+                np.zeros((N, Ds), np.float32),
+                np.zeros((N, self.envs.n_moves), np.float32))
+
+    def _init_device_carry(self, use_obs, use_share, use_avail, turn):
+        j = jnp.asarray
+        return {
+            "use_obs": j(use_obs), "use_share": j(use_share),
+            "use_avail": j(use_avail),
+            **{k: j(v) for k, v in turn.items()},
+        }
+
+    def _device_round(self, train_state, carry, key):
+        from jax.experimental import io_callback
+        cfg, N, M = self.cfg, self.N, self.num_agents
+        Do = self.envs.obs_dim
+        Ds = self.envs.share_dim if cfg.use_centralized_V else Do
+        A = self.envs.n_moves
+        f32 = jnp.float32
+        step_shapes = (jax.ShapeDtypeStruct((N, Do), f32),
+                       jax.ShapeDtypeStruct((N, Ds), f32),
+                       jax.ShapeDtypeStruct((N, M, 1), f32),
+                       jax.ShapeDtypeStruct((N,), jnp.bool_),
+                       jax.ShapeDtypeStruct((N, A), f32),
+                       jax.ShapeDtypeStruct((N,), f32))
+        reset_shapes = (jax.ShapeDtypeStruct((N, Do), f32),
+                        jax.ShapeDtypeStruct((N, Ds), f32),
+                        jax.ShapeDtypeStruct((N, A), f32))
+
+        c = dict(carry)
+        reset_choose = jnp.zeros((N,), bool)
+        score_sum = jnp.zeros((), f32)
+        score_n = jnp.zeros((), jnp.int32)
+        true_delta = jnp.zeros((), jnp.int32)
+
+        for seat in range(M):
+            choose = jnp.any(c["use_avail"] == 1, axis=1)       # [N]
+            c1 = choose[:, None]
+            c2 = choose[:, None, None]
+            key, k_act = jax.random.split(key)
+            values, actions, logp, rnn, rnn_c = self.algo.get_actions(
+                train_state, c["use_share"], c["use_obs"],
+                c["rnn"][:, seat], c["rnn_critic"][:, seat],
+                c["masks"][:, seat], k_act, c["use_avail"])
+
+            upd = lambda name, new, cm: c.__setitem__(
+                name, c[name].at[:, seat].set(
+                    jnp.where(cm, new, c[name][:, seat])))
+            upd("obs", c["use_obs"], c1)
+            upd("share_obs", c["use_share"], c1)
+            upd("avail", c["use_avail"], c1)
+            upd("values", values, c1)
+            upd("actions", actions, c1)
+            upd("logp", logp, c1)
+            upd("rnn", rnn, c2)
+            upd("rnn_critic", rnn_c, c2)
+            env_actions = jnp.where(
+                choose, actions[:, 0].astype(jnp.int64), -1)
+
+            obs, share, rewards, done, avail, score = io_callback(
+                self._env_step_cb, step_shapes, env_actions, ordered=True)
+            true_delta = true_delta + jnp.sum(choose.astype(jnp.int32))
+            c["use_obs"], c["use_share"], c["use_avail"] = obs, share, avail
+
+            # reward accrual since each seat's last action
+            upd("rewards", c["accum"][:, seat], c1)
+            c["accum"] = c["accum"].at[:, seat].set(
+                jnp.where(c1, 0.0, c["accum"][:, seat]))
+            c["accum"] = c["accum"] + jnp.where(c2, rewards, 0.0)
+
+            nd = done & choose
+            nd1 = nd[:, None]
+            nd2 = nd[:, None, None]
+            reset_choose = reset_choose | nd
+            c["use_avail"] = jnp.where(nd1, 0.0, c["use_avail"])
+            c["masks"] = jnp.where(nd2, 0.0, c["masks"])
+            c["rnn"] = jnp.where(nd[:, None, None, None], 0.0, c["rnn"])
+            c["rnn_critic"] = jnp.where(nd[:, None, None, None], 0.0,
+                                        c["rnn_critic"])
+            c["active"] = c["active"].at[:, seat].set(
+                jnp.where(nd1, 1.0, c["active"][:, seat]))
+            if seat + 1 < M:
+                fut = slice(seat + 1, M)
+                setf = lambda name, new: c.__setitem__(
+                    name, c[name].at[:, fut].set(
+                        jnp.where(nd2, new, c[name][:, fut])))
+                setf("active", 0.0)
+                setf("rewards", c["accum"][:, fut])
+                setf("accum", 0.0)
+                setf("values", 0.0)
+                setf("obs", 0.0)
+                setf("share_obs", 0.0)
+            score_sum = score_sum + jnp.sum(jnp.where(nd, score, 0.0))
+            score_n = score_n + jnp.sum(nd.astype(jnp.int32))
+            ndn = (~done) & choose
+            c["masks"] = c["masks"].at[:, seat].set(
+                jnp.where(ndn[:, None], 1.0, c["masks"][:, seat]))
+            c["active"] = c["active"].at[:, seat].set(
+                jnp.where(ndn[:, None], 1.0, c["active"][:, seat]))
+
+        # the buffer slots the PRE-reset masks at step t+1
+        masks_insert = c["masks"]
+        fresh_obs, fresh_share, fresh_avail = io_callback(
+            self._env_reset_cb, reset_shapes, reset_choose, ordered=True)
+        rc1 = reset_choose[:, None]
+        c["use_obs"] = jnp.where(rc1, fresh_obs, c["use_obs"])
+        c["use_share"] = jnp.where(rc1, fresh_share, c["use_share"])
+        c["use_avail"] = jnp.where(rc1, fresh_avail, c["use_avail"])
+        c["masks"] = jnp.where(reset_choose[:, None, None], 1.0, c["masks"])
+        aux = {"key": key, "reset_choose": reset_choose,
+               "masks_insert": masks_insert, "score_sum": score_sum,
+               "score_n": score_n, "true_delta": true_delta}
+        return c, aux
+
+    # ------------------------------------------------------------------
     def run(self, key=None, log_fn=print, save_dir=None):
         cfg = self.cfg
         N, M, T = self.N, self.num_agents, cfg.episode_length
@@ -109,8 +319,8 @@ class HanabiRunner:
         obs, share_obs, avail, cur = self.envs.reset()
         if not cfg.use_centralized_V:
             share_obs = obs
-        use_obs, use_share, use_avail = obs.copy(), share_obs.copy(), \
-            avail.copy()
+        use = {"obs": obs.copy(), "share": share_obs.copy(),
+               "avail": avail.copy()}
 
         turn = {
             "obs": np.zeros((N, M, obs.shape[-1]), np.float32),
@@ -133,69 +343,36 @@ class HanabiRunner:
         metrics = {}
         start = time.perf_counter()
 
+        device = cfg.use_device_collect
+        if device:
+            carry = self._init_device_carry(use["obs"], use["share"],
+                                            use["avail"], turn)
+            round_jit = jax.jit(self._device_round)
+            ep_score_sum, ep_score_n = 0.0, 0
+
         for episode in range(self.episodes):
             ep_scores = []
+            if device:
+                ep_score_sum, ep_score_n = 0.0, 0
             for step in range(T):
-                reset_choose = np.zeros(N, bool)
                 # ---- one seat round (collect, :138-220) --------------
-                for seat in range(M):
-                    env_actions = np.full(N, -1, np.int64)
-                    choose = np.any(use_avail == 1, axis=1)
-                    if not choose.any():
-                        reset_choose[:] = True
-                        break
-                    key, k_act = jax.random.split(key)
-                    values, actions, logp, rnn, rnn_c = self._act_fn(
-                        train_state, use_share, use_obs,
-                        turn["rnn"][:, seat], turn["rnn_critic"][:, seat],
-                        turn["masks"][:, seat], k_act, use_avail)
-                    values, actions, logp, rnn, rnn_c = map(
-                        np.asarray, (values, actions, logp, rnn, rnn_c))
-
-                    turn["obs"][choose, seat] = use_obs[choose]
-                    turn["share_obs"][choose, seat] = use_share[choose]
-                    turn["avail"][choose, seat] = use_avail[choose]
-                    turn["values"][choose, seat] = values[choose]
-                    turn["actions"][choose, seat] = actions[choose]
-                    turn["logp"][choose, seat] = logp[choose]
-                    turn["rnn"][choose, seat] = rnn[choose]
-                    turn["rnn_critic"][choose, seat] = rnn_c[choose]
-                    env_actions[choose] = actions[choose, 0].astype(np.int64)
-
-                    obs, share_obs, rewards, done, cur, avail, score = \
-                        self.envs.step(env_actions)
-                    if not cfg.use_centralized_V:
-                        share_obs = obs
-                    self.true_total_num_steps += int(choose.sum())
-                    use_obs, use_share, use_avail = obs, share_obs, avail
-
-                    # reward accrual since each seat's last action
-                    turn["rewards"][choose, seat] = \
-                        turn["accum"][choose, seat]
-                    turn["accum"][choose, seat] = 0.0
-                    turn["accum"][choose] += rewards[choose]
-
-                    newly_done = done & choose
-                    if newly_done.any():
-                        nd = newly_done
-                        reset_choose[nd] = True
-                        use_avail[nd] = 0.0
-                        turn["masks"][nd] = 0.0
-                        turn["rnn"][nd] = 0.0
-                        turn["rnn_critic"][nd] = 0.0
-                        turn["active"][nd, seat] = 1.0
-                        if seat + 1 < M:
-                            turn["active"][nd, seat + 1:] = 0.0
-                            turn["rewards"][nd, seat + 1:] = \
-                                turn["accum"][nd, seat + 1:]
-                            turn["accum"][nd, seat + 1:] = 0.0
-                            turn["values"][nd, seat + 1:] = 0.0
-                            turn["obs"][nd, seat + 1:] = 0.0
-                            turn["share_obs"][nd, seat + 1:] = 0.0
-                        ep_scores.extend(score[nd].tolist())
-                    not_done = (~done) & choose
-                    turn["masks"][not_done, seat] = 1.0
-                    turn["active"][not_done, seat] = 1.0
+                if device:
+                    carry, aux = round_jit(train_state, carry, key)
+                    key = aux["key"]
+                    host = jax.device_get(
+                        {k: carry[k] for k in
+                         ("obs", "share_obs", "avail", "values", "actions",
+                          "logp", "rnn", "rnn_critic", "rewards", "active")}
+                        | {"masks": aux["masks_insert"]})
+                    turn.update(host)
+                    self.true_total_num_steps += int(aux["true_delta"])
+                    ep_score_sum += float(aux["score_sum"])
+                    ep_score_n += int(aux["score_n"])
+                    reset_choose = np.asarray(aux["reset_choose"])
+                else:
+                    key, reset_choose, sc = self._host_round(
+                        train_state, turn, use, key)
+                    ep_scores.extend(sc)
 
                 # ---- deferred train (:52-67) -------------------------
                 if step == 0 and episode > 0:
@@ -226,17 +403,19 @@ class HanabiRunner:
                 bufnp["active_masks"][step] = turn["active"]
                 bufnp["available_actions"][step] = turn["avail"]
 
-                # ---- masked env reset --------------------------------
-                if reset_choose.any():
+                # ---- masked env reset (device path resets in-round) --
+                if not device and reset_choose.any():
                     obs, share_obs, avail, cur = self.envs.reset(reset_choose)
                     if not cfg.use_centralized_V:
                         share_obs = obs
-                    use_obs[reset_choose] = obs[reset_choose]
-                    use_share[reset_choose] = share_obs[reset_choose]
-                    use_avail[reset_choose] = avail[reset_choose]
+                    use["obs"][reset_choose] = obs[reset_choose]
+                    use["share"][reset_choose] = share_obs[reset_choose]
+                    use["avail"][reset_choose] = avail[reset_choose]
                     turn["masks"][reset_choose] = 1.0
 
             scores.extend(ep_scores)
+            if device:
+                ep_avg = ep_score_sum / max(ep_score_n, 1)
             if save_dir and (episode % max(cfg.save_interval, 1) == 0
                              or episode == self.episodes - 1):
                 ckpt_lib.save(save_dir, train_state, step=episode, key=key)
@@ -252,8 +431,9 @@ class HanabiRunner:
                 row = {"episode": episode, "steps": steps_total,
                        "true_steps": self.true_total_num_steps,
                        "fps": steps_total / (time.perf_counter() - start),
-                       "average_score": float(np.mean(ep_scores))
-                       if ep_scores else 0.0, **metrics}
+                       "average_score": (ep_avg if device else
+                                         float(np.mean(ep_scores))
+                                         if ep_scores else 0.0), **metrics}
                 history.append(row)
                 if log_fn is print:
                     print(f"ep {episode} steps {steps_total} "
