@@ -35,6 +35,32 @@ def test_mesh_matches_single_device():
                                rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_2d_mesh_tensor_parallel_matches_single_device():
+    """(data=2, model=2) mesh — hidden dims sharded along 'model' —
+    must match 1-device numerics: shardings change layout, not math."""
+    p1, m1 = _run(1)
+    p22, m22 = _run("2,2")
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p22)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(m1["value_loss"], m22["value_loss"],
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_param_spec_rule():
+    """Leaf rule: widest shardable dim goes to 'model', indivisible
+    leaves replicate."""
+    from jax.sharding import PartitionSpec as P
+    from onpolicy_tpu.parallel.mesh import _param_spec
+    z = jnp.zeros
+    assert _param_spec(z((18, 32)), 2) == P(None, "model")      # column
+    assert _param_spec(z((32, 1)), 2) == P("model", None)       # v head
+    assert _param_spec(z((32,)), 2) == P("model")               # bias
+    assert _param_spec(z((3, 5)), 2) == P()                     # indivisible
+    assert _param_spec(z(()), 2) == P()                         # scalar
+
+
 def test_episodes_per_call_equivalence():
     """Chained E=2 call == two single-episode calls (same keys)."""
     cfg_args = [
