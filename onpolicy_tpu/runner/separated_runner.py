@@ -34,6 +34,7 @@ from onpolicy_tpu.algorithms.happo import HAPPO
 from onpolicy_tpu.algorithms.hatrpo import HATRPO
 from onpolicy_tpu.algorithms.mappo import MAPPO
 from onpolicy_tpu.envs.mpe import make_vec_env
+from onpolicy_tpu.parallel import mesh as mesh_lib
 from onpolicy_tpu.utils import checkpoint as ckpt_lib
 from onpolicy_tpu.utils import spaces as sp
 
@@ -62,6 +63,7 @@ class SeparatedRunner:
                                    total_updates=self.episodes))
         self.is_happo = cfg.algorithm_name in ("happo", "hatrpo")
         self._episode_cache = {}
+        self.mesh = mesh_lib.make_mesh(cfg.mesh_shape)
 
     # ------------------------------------------------------------------
     def init(self, key: jax.Array):
@@ -79,6 +81,13 @@ class SeparatedRunner:
             "rnn_critic": tuple(jnp.zeros((N, L, H)) for _ in range(self.num_agents)),
             "masks": jnp.ones((N, 1)),
         }
+        if len(self.mesh.devices.flat) > 1:
+            # same placement as the shared path: per-agent param stacks
+            # replicated (or model-sharded on a 2-D mesh), env batch
+            # sharded along 'data'
+            states, carry = mesh_lib.shard_train_inputs(self.mesh, states,
+                                                        carry)
+            states = tuple(states)
         return states, carry
 
     def _share_obs(self, obs_tuple):

@@ -48,6 +48,36 @@ def test_2d_mesh_tensor_parallel_matches_single_device():
                                rtol=2e-4, atol=1e-5)
 
 
+def _run_separated(mesh, seed=0):
+    from onpolicy_tpu.runner.separated_runner import SeparatedRunner
+    cfg = config_from_args([
+        "--algorithm_name", "happo", "--scenario_name", "simple_spread",
+        "--n_rollout_threads", "8", "--episode_length", "10",
+        "--num_env_steps", "320", "--ppo_epoch", "2",
+        "--hidden_size", "32", "--share_policy", "false",
+        "--mesh_shape", str(mesh),
+    ])
+    runner = SeparatedRunner(cfg)
+    states, carry = runner.init(jax.random.PRNGKey(seed))
+    states, carry, m = runner._episode_fn(states, carry,
+                                          jax.random.PRNGKey(1),
+                                          order=(1, 0, 2))
+    return jax.device_get(states[0].actor_params), jax.device_get(m)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_separated_mesh_matches_single_device():
+    """Separated/HAPPO path on a data-sharded mesh == 1-device."""
+    p1, m1 = _run_separated(1)
+    p4, m4 = _run_separated(4)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p4)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        m1["average_episode_rewards"], m4["average_episode_rewards"],
+        rtol=2e-4, atol=1e-5)
+
+
 def test_param_spec_rule():
     """Leaf rule: widest shardable dim goes to 'model', indivisible
     leaves replicate."""
