@@ -9,7 +9,17 @@ metric definition is total_env_steps/wall-clock
 env-steps/s per host — `vs_baseline` reports the fraction of that
 target.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Timing methodology (round-2 fix): `jax.block_until_ready` does NOT
+synchronize through the axon tunnel — round 1 recorded dispatch time,
+not execution time. Every window here ends with `jax.device_get` of a
+scalar reduced from the final TrainState (params + metrics), which
+cannot complete before all queued device work has executed. The
+returned scalar is also consumed, so no window can be dead-code
+eliminated.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+self-auditing extras (flops/episode from XLA cost analysis, achieved
+TFLOP/s, window times).
 """
 from __future__ import annotations
 
@@ -17,8 +27,27 @@ import json
 import time
 
 import jax
+import jax.numpy as jnp
 
 NORTH_STAR_STEPS_PER_S = 1_000_000.0
+
+
+def _sync(*trees) -> float:
+    """Force completion of all device work feeding `trees`.
+
+    Sums one scalar across every array leaf and pulls it to host with
+    `jax.device_get` — a real transfer that cannot be reordered before
+    the producing computation (unlike block_until_ready, which returns
+    early through the axon tunnel).
+    """
+    total = 0.0
+    for tree in trees:
+        leaves = [l for l in jax.tree_util.tree_leaves(tree)
+                  if hasattr(l, "dtype")]
+        if leaves:
+            total += float(jax.device_get(
+                sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)))
+    return total
 
 
 def bench(n_envs: int = 16384, episode_length: int = 25,
@@ -45,27 +74,56 @@ def bench(n_envs: int = 16384, episode_length: int = 25,
     for _ in range(warmup_episodes):
         key, k = jax.random.split(key)
         train_state, carry, metrics = runner._episode_fn(train_state, carry, k)
-    jax.block_until_ready(metrics)
+    _sync(train_state, metrics)
 
-    # 3 measurement windows; report the best (device-tunnel latency noise
-    # can depress individual windows by ~30%)
-    rates = []
+    # 3 measurement windows; each ends with a forced device->host
+    # transfer of a scalar derived from the updated train state, so the
+    # clock stops only after every queued episode has executed.
+    rates, window_s = [], []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(measure_episodes):
             key, k = jax.random.split(key)
             train_state, carry, metrics = runner._episode_fn(
                 train_state, carry, k)
-        jax.block_until_ready(metrics)
+        _sync(train_state, metrics)
         dt = time.perf_counter() - t0
+        window_s.append(round(dt, 3))
         rates.append(measure_episodes * episode_length * n_envs / dt)
     sps = max(rates)
-    return {
+
+    # Self-audit: FLOPs/episode from XLA cost analysis -> achieved TFLOP/s.
+    flops_per_episode = None
+    tflops = None
+    try:
+        compiled = jax.jit(runner._episode_fn).lower(
+            train_state, carry, key).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0] if ca else {}
+        fl = ca.get("flops") if ca else None
+        if fl:
+            flops_per_episode = float(fl)
+            best_episode_s = min(window_s) / measure_episodes
+            tflops = flops_per_episode / best_episode_s / 1e12
+    except Exception:
+        pass
+
+    out = {
         "metric": "MPE simple_spread MAPPO train env-steps/s per chip",
         "value": round(sps, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(sps / NORTH_STAR_STEPS_PER_S, 4),
+        "sync": "device_get of train-state scalar (block_until_ready is "
+                "a no-op through the axon tunnel)",
+        "window_s": window_s,
+        "episodes_per_window": measure_episodes,
     }
+    if flops_per_episode is not None:
+        out["flops_per_episode"] = round(flops_per_episode / 1e9, 2)
+        out["flops_unit"] = "GFLOP"
+        out["achieved_tflops"] = round(tflops, 4)
+    return out
 
 
 if __name__ == "__main__":

@@ -170,6 +170,13 @@ def feed_forward_minibatches(buf: RolloutBuffer, advantages: jax.Array,
     total = T * N * M
     assert total % num_mini_batch == 0, (
         f"batch {total} not divisible by num_mini_batch {num_mini_batch}")
+    if num_mini_batch == 1:
+        # The single minibatch is the whole batch; a permutation is a
+        # semantic no-op for the mean-reduced PPO losses but costs a
+        # full random gather of every training array (the round-1 perf
+        # bottleneck: ~0.4 GB × fields × epochs of HBM scatter traffic).
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape(1, total, *x.shape[3:]), d)
     perm = jax.random.permutation(key, total)
     idx = perm.reshape(num_mini_batch, total // num_mini_batch)
 
@@ -192,6 +199,9 @@ def transformer_minibatches(buf: RolloutBuffer, advantages: jax.Array,
     T, N, M = buf.T, buf.n_rollout_threads, buf.num_agents
     total = T * N
     assert total % num_mini_batch == 0
+    if num_mini_batch == 1:
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape(1, total, M, *x.shape[3:]), d)
     perm = jax.random.permutation(key, total)
     idx = perm.reshape(num_mini_batch, total // num_mini_batch)
 
@@ -231,17 +241,22 @@ def recurrent_minibatches(buf: RolloutBuffer, advantages: jax.Array,
         f"{n_chunks} chunks not divisible by num_mini_batch "
         f"{num_mini_batch}")
     mb = n_chunks // num_mini_batch
-    perm = jax.random.permutation(key, n_chunks)
-    idx = perm.reshape(num_mini_batch, mb)
 
     def to_chunks(x):
         # [T,N,M,...] → [N,M,T,...] → flat stream → [n_chunks, L, ...]
         y = jnp.moveaxis(x, 0, 2).reshape(N * M * T, *x.shape[3:])
         return y[:n_chunks * L].reshape(n_chunks, L, *x.shape[3:])
 
+    if num_mini_batch == 1:
+        idx = None  # whole batch in one minibatch: chunk order irrelevant
+    else:
+        perm = jax.random.permutation(key, n_chunks)
+        idx = perm.reshape(num_mini_batch, mb)
+
     out = {}
     for k, x in d.items():
-        chunks = to_chunks(x)[idx]            # [nmb, mb, L, ...]
+        chunks = to_chunks(x)
+        chunks = (chunks[None] if idx is None else chunks[idx])  # [nmb,mb,L,..]
         if k in ("rnn_states", "rnn_states_critic"):
             out[k] = chunks[:, :, 0]          # state at chunk start
         else:
@@ -262,13 +277,17 @@ def naive_recurrent_minibatches(buf: RolloutBuffer, advantages: jax.Array,
     T, N, M = buf.T, buf.n_rollout_threads, buf.num_agents
     total = N * M
     assert total % num_mini_batch == 0
-    perm = jax.random.permutation(key, total)
-    idx = perm.reshape(num_mini_batch, total // num_mini_batch)
+    if num_mini_batch == 1:
+        idx = None
+    else:
+        perm = jax.random.permutation(key, total)
+        idx = perm.reshape(num_mini_batch, total // num_mini_batch)
 
     out = {}
     for k, x in d.items():
         seq = x.reshape(T, total, *x.shape[3:])
-        picked = seq[:, idx]                  # [T, nmb, mb, ...]
+        # [T, nmb, mb, ...]
+        picked = seq[:, None] if idx is None else seq[:, idx]
         if k in ("rnn_states", "rnn_states_critic"):
             out[k] = picked[0]                # [nmb, mb, ...]
         else:
