@@ -13,7 +13,7 @@ extern "C" {
 
 void* hanabi_batch_new(int n_games, int colors, int ranks, int players,
                        int hand_size, int max_info, int max_life,
-                       uint64_t seed) {
+                       int minimal, uint64_t seed) {
   Config cfg;
   cfg.colors = colors;
   cfg.ranks = ranks;
@@ -21,6 +21,7 @@ void* hanabi_batch_new(int n_games, int colors, int ranks, int players,
   cfg.hand_size = hand_size;
   cfg.max_info_tokens = max_info;
   cfg.max_life_tokens = max_life;
+  cfg.minimal = minimal != 0;
   return new BatchedHanabi(n_games, cfg, seed);
 }
 
@@ -55,6 +56,74 @@ void hanabi_batch_observe(void* h, float* obs, float* ownhand, float* avail,
 
 void hanabi_batch_observe_player(void* h, int player, float* obs) {
   static_cast<BatchedHanabi*>(h)->ObservePlayer(player, obs);
+}
+
+// ---- single-state replay surface ------------------------------------
+// Drives one State with an injected deck, for bit-level golden tests of
+// the canonical/own-hand encoders against the reference HLE
+// (canonical_encoders.cc, pyhanabi.cc:839-890). The pair {game, state}
+// is owned together.
+
+struct SingleState {
+  hanabi::Game game;
+  hanabi::State state;
+  SingleState(Config cfg) : game(cfg), state(&game, 0) {}
+};
+
+void* hanabi_state_new(int colors, int ranks, int players, int hand_size,
+                       int max_info, int max_life, int minimal,
+                       const int8_t* deck_colors, const int8_t* deck_ranks,
+                       int n_cards) {
+  Config cfg;
+  cfg.colors = colors;
+  cfg.ranks = ranks;
+  cfg.players = players;
+  cfg.hand_size = hand_size;
+  cfg.max_info_tokens = max_info;
+  cfg.max_life_tokens = max_life;
+  cfg.minimal = minimal != 0;
+  auto* s = new SingleState(cfg);
+  std::vector<hanabi::Card> deck(n_cards);
+  for (int i = 0; i < n_cards; ++i)
+    deck[i] = hanabi::Card{deck_colors[i], deck_ranks[i]};
+  s->state.ResetWithDeck(deck.data(), n_cards);
+  return s;
+}
+
+void hanabi_state_free(void* s) { delete static_cast<SingleState*>(s); }
+
+int hanabi_state_cur_player(void* s) {
+  return static_cast<SingleState*>(s)->state.CurPlayer();
+}
+int hanabi_state_terminal(void* s) {
+  return static_cast<SingleState*>(s)->state.Terminal() ? 1 : 0;
+}
+int hanabi_state_score(void* s) {
+  return static_cast<SingleState*>(s)->state.Score();
+}
+int hanabi_state_deck_size(void* s) {
+  return static_cast<SingleState*>(s)->state.DeckSize();
+}
+int hanabi_state_info_tokens(void* s) {
+  return static_cast<SingleState*>(s)->state.InfoTokens();
+}
+int hanabi_state_life_tokens(void* s) {
+  return static_cast<SingleState*>(s)->state.LifeTokens();
+}
+int hanabi_state_legal(void* s, int uid) {
+  return static_cast<SingleState*>(s)->state.Legal(uid) ? 1 : 0;
+}
+void hanabi_state_apply(void* s, int uid) {
+  static_cast<SingleState*>(s)->state.Apply(uid);
+}
+void hanabi_state_encode(void* s, int player, float* out) {
+  static_cast<SingleState*>(s)->state.Encode(player, out);
+}
+void hanabi_state_encode_ownhand(void* s, int player, float* out) {
+  static_cast<SingleState*>(s)->state.EncodeOwnHand(player, out);
+}
+void hanabi_state_legal_mask(void* s, int player, float* out) {
+  static_cast<SingleState*>(s)->state.LegalMovesMask(player, out);
 }
 
 }  // extern "C"

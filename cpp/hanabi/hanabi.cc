@@ -63,7 +63,7 @@ int Game::ObsDim() const {
                     cfg_.max_life_tokens;
   const int discards = C * CardsPerColor(R);
   const int last = P + 4 + P + C + R + H + H + C * R + 2;
-  const int knowledge = P * H * (C * R + C + R);
+  const int knowledge = cfg_.minimal ? 0 : P * H * (C * R + C + R);
   return hands + board + discards + last + knowledge;
 }
 
@@ -102,9 +102,25 @@ void State::Reset(uint64_t seed) {
   info_tokens_ = cfg_.max_info_tokens;
   life_tokens_ = cfg_.max_life_tokens;
   cur_player_ = 0;
-  final_countdown_ = -1;
+  // Matches HLE turns_to_play_ (hanabi_state.cc:102,221-224): initialized
+  // to the player count and decremented at the ENTRY of every move applied
+  // while the deck is empty — so the player who drew the last card still
+  // gets one final turn.
+  final_countdown_ = cfg_.players;
   terminal_ = false;
   last_ = LastAction{};
+  DealInitialHands();
+}
+
+void State::ResetWithDeck(const Card* cards, int n) {
+  // Deterministic-replay entry (golden tests vs the reference HLE):
+  // `cards` is the DRAW order; deck_ pops from the back.
+  Reset(0);
+  hands_.assign(cfg_.players, {});
+  knowledge_.assign(cfg_.players, {});
+  deck_.assign(cards, cards + n);
+  std::reverse(deck_.begin(), deck_.end());
+  final_countdown_ = cfg_.players;
   DealInitialHands();
 }
 
@@ -118,8 +134,6 @@ void State::Draw(int player) {
   hands_[player].push_back(deck_.back());
   deck_.pop_back();
   knowledge_[player].push_back(FreshKnowledge());
-  if (deck_.empty() && final_countdown_ < 0)
-    final_countdown_ = cfg_.players;  // everyone gets one last move
 }
 
 bool State::Legal(int uid) const {
@@ -153,6 +167,10 @@ bool State::Legal(int uid) const {
 
 void State::Apply(int uid) {
   assert(Legal(uid));
+  // HLE decrements turns_to_play_ when the deck is empty at move ENTRY
+  // (hanabi_state.cc:221-224) — the move that draws the last card does
+  // not count toward the final round.
+  if (deck_.empty()) --final_countdown_;
   const Move m = game_->GetMove(uid);
   auto& hand = hands_[cur_player_];
   auto& know = knowledge_[cur_player_];
@@ -230,12 +248,10 @@ void State::Apply(int uid) {
       break;
   }
 
-  if (final_countdown_ > 0) --final_countdown_;
-
   bool all_complete = true;
   for (int c = 0; c < cfg_.colors; ++c)
     if (fireworks_[c] < cfg_.ranks) all_complete = false;
-  if (life_tokens_ <= 0 || all_complete || final_countdown_ == 0)
+  if (life_tokens_ <= 0 || all_complete || final_countdown_ <= 0)
     terminal_ = true;
 
   cur_player_ = (cur_player_ + 1) % cfg_.players;
@@ -306,8 +322,15 @@ void State::Encode(int player, float* out) const {
     p[RelPlayer(last_.acting_player, player, P)] = 1.0f;
   }
   p += P;
-  if (last_.type != MoveType::kInvalid)
-    p[static_cast<int>(last_.type)] = 1.0f;
+  // One-hot move-type order is play, discard, reveal-color, reveal-rank
+  // (canonical_encoders.cc EncodeLastAction switch), NOT our enum order.
+  switch (last_.type) {
+    case MoveType::kPlay:        p[0] = 1.0f; break;
+    case MoveType::kDiscard:     p[1] = 1.0f; break;
+    case MoveType::kRevealColor: p[2] = 1.0f; break;
+    case MoveType::kRevealRank:  p[3] = 1.0f; break;
+    default: break;
+  }
   p += 4;
   if (last_.target_player >= 0)
     p[RelPlayer(last_.target_player, player, P)] = 1.0f;
@@ -328,16 +351,37 @@ void State::Encode(int player, float* out) const {
   if (last_.added_info) p[1] = 1.0f;
   p += 2;
 
-  // --- card knowledge (all players, relative order) ---
+  // --- V0 belief (all players, relative order) ---
+  // The reference fork replaces the raw plausibility bits with a "V0
+  // belief" (canonical_encoders.cc EncodeV0Belief_): each plausibility
+  // bit is multiplied by the remaining copy count of that card type
+  // (full composition − discards − played fireworks) and divided by the
+  // per-card total IN INTEGER ARITHMETIC — so the bit survives only
+  // when that type carries ALL the remaining probability mass (the card
+  // is fully determined). The hinted color/rank one-hots are unchanged.
+  // Dropped entirely under kMinimal.
+  if (cfg_.minimal) return;
+  std::vector<int> count(C * R);
+  for (int c = 0; c < C; ++c)
+    for (int r = 0; r < R; ++r)
+      count[c * R + r] = RankCount(r) - discard_counts_[c * R + r] -
+                         (fireworks_[c] > r ? 1 : 0);
   for (int off = 0; off < P; ++off) {
     int q = (player + off) % P;
     for (int s = 0; s < H; ++s) {
       if (s < static_cast<int>(knowledge_[q].size())) {
         const Knowledge& k = knowledge_[q][s];
+        long total = 0;
         for (int c = 0; c < C; ++c)
           for (int r = 0; r < R; ++r)
             if ((k.color_plausible & (1u << c)) &&
                 (k.rank_plausible & (1u << r)))
+              total += count[c * R + r];
+        for (int c = 0; c < C; ++c)
+          for (int r = 0; r < R; ++r)
+            if ((k.color_plausible & (1u << c)) &&
+                (k.rank_plausible & (1u << r)) &&
+                count[c * R + r] > 0 && count[c * R + r] == total)
               p[c * R + r] = 1.0f;
         if (k.hinted_color >= 0) p[C * R + k.hinted_color] = 1.0f;
         if (k.hinted_rank >= 0) p[C * R + C + k.hinted_rank] = 1.0f;

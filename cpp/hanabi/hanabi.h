@@ -27,6 +27,10 @@ struct Config {
   int hand_size = 5;  // derived: 5 for <4 players else 4
   int max_info_tokens = 8;
   int max_life_tokens = 3;
+  // HLE observation_type kMinimal: the card-knowledge/V0-belief section
+  // is dropped entirely (canonical_encoders.cc:Shape, reference
+  // Hanabi-Full-Minimal preset).
+  bool minimal = false;
 };
 
 struct Card {
@@ -94,6 +98,10 @@ class State {
   State(const Game* game, uint64_t seed);
 
   void Reset(uint64_t seed);
+  // Deterministic replay: start a fresh game whose draws consume `cards`
+  // in order (golden-parity tests drive this with the deal sequence
+  // recorded from the reference HLE).
+  void ResetWithDeck(const Card* cards, int n);
   bool Legal(int uid) const;
   void Apply(int uid);                  // asserts legality
   bool Terminal() const { return terminal_; }

@@ -41,7 +41,7 @@ def load_library() -> ctypes.CDLL:
     i32p = ctypes.POINTER(ctypes.c_int32)
     f32p = ctypes.POINTER(ctypes.c_float)
     lib.hanabi_batch_new.restype = ctypes.c_void_p
-    lib.hanabi_batch_new.argtypes = [ctypes.c_int] * 7 + [ctypes.c_uint64]
+    lib.hanabi_batch_new.argtypes = [ctypes.c_int] * 8 + [ctypes.c_uint64]
     lib.hanabi_batch_free.argtypes = [ctypes.c_void_p]
     for name in ("hanabi_max_moves", "hanabi_obs_dim", "hanabi_ownhand_dim"):
         fn = getattr(lib, name)
@@ -65,13 +65,14 @@ class HanabiBatch:
     """N lockstep Hanabi games in native code."""
 
     def __init__(self, n_games: int, colors=5, ranks=5, players=2,
-                 hand_size=-1, max_info=8, max_life=3, seed=0):
+                 hand_size=-1, max_info=8, max_life=3, minimal=False,
+                 seed=0):
         if hand_size <= 0:
             hand_size = 5 if players < 4 else 4
         self.lib = load_library()
         self.handle = ctypes.c_void_p(self.lib.hanabi_batch_new(
             n_games, colors, ranks, players, hand_size, max_info, max_life,
-            seed))
+            int(minimal), seed))
         self.n_games = n_games
         self.players = players
         self.max_moves = self.lib.hanabi_max_moves(self.handle)

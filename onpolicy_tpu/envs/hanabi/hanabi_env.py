@@ -27,13 +27,14 @@ from onpolicy_tpu.utils import spaces as sp
 
 PRESETS = {
     "Hanabi-Full": dict(colors=5, ranks=5, max_info=8, max_life=3,
-                        hand_size=-1),
+                        hand_size=-1, minimal=False),
+    # MINIMAL observation_type: no V0-belief section (Hanabi_Env.py:136)
     "Hanabi-Full-Minimal": dict(colors=5, ranks=5, max_info=8, max_life=3,
-                                hand_size=-1),
+                                hand_size=-1, minimal=True),
     "Hanabi-Small": dict(colors=2, ranks=5, max_info=3, max_life=1,
-                         hand_size=2),
+                         hand_size=2, minimal=False),
     "Hanabi-Very-Small": dict(colors=1, ranks=5, max_info=3, max_life=1,
-                              hand_size=2),
+                              hand_size=2, minimal=False),
 }
 
 
@@ -50,7 +51,8 @@ class HanabiVecEnv:
                                  players=num_agents,
                                  hand_size=p["hand_size"],
                                  max_info=p["max_info"],
-                                 max_life=p["max_life"], seed=seed)
+                                 max_life=p["max_life"],
+                                 minimal=p["minimal"], seed=seed)
         self.n_envs = n_envs
         self.num_agents = M = num_agents
         self.obs_instead_of_state = use_obs_instead_of_state
