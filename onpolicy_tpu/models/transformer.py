@@ -25,6 +25,7 @@ teacher-forces shifted actions in one decoder pass (training) —
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Tuple
 
@@ -35,6 +36,10 @@ from onpolicy_tpu.models import common as cm
 from onpolicy_tpu.ops import distributions as D
 
 GAIN = 0.01
+
+# torch nn.GELU default is the exact erf form (ma_transformer.py:78,104);
+# jax.nn.gelu defaults to the tanh approximation.
+_gelu = functools.partial(jax.nn.gelu, approximate=False)
 
 
 def _lin(key, din, dout, activate=False, bias=True):
@@ -84,7 +89,7 @@ def _mlp_block_init(key, n_embd):
 
 
 def _mlp_block_apply(p, x):
-    return _lin_apply(p["fc2"], jax.nn.gelu(_lin_apply(p["fc1"], x)))
+    return _lin_apply(p["fc2"], _gelu(_lin_apply(p["fc1"], x)))
 
 
 # ---- encoder --------------------------------------------------------
@@ -109,14 +114,14 @@ def encoder_init(key, obs_dim, n_block, n_embd):
 
 def encoder_apply(p, obs, n_head):
     """obs [B, M, Do] → (v_loc [B, M, 1], rep [B, M, D])."""
-    x = jax.nn.gelu(_lin_apply(p["obs_embed"],
+    x = _gelu(_lin_apply(p["obs_embed"],
                                cm.layer_norm_apply(p["obs_ln"], obs)))
     x = cm.layer_norm_apply(p["ln"], x)
     for blk in p["blocks"]:
         x = cm.layer_norm_apply(
             blk["ln1"], x + attn_apply(blk["attn"], x, x, x, n_head, False))
         x = cm.layer_norm_apply(blk["ln2"], x + _mlp_block_apply(blk["mlp"], x))
-    h = jax.nn.gelu(_lin_apply(p["head1"], x))
+    h = _gelu(_lin_apply(p["head1"], x))
     v = _lin_apply(p["head2"], cm.layer_norm_apply(p["head_ln"], h))
     return v, x
 
@@ -179,12 +184,12 @@ def decoder_apply(p, shifted_action, obs_rep, obs, n_head,
         for i, mp in enumerate(mlps):
             h = cm.layer_norm_apply(mp["ln0"], obs[:, i])
             h = cm.layer_norm_apply(mp["ln1"],
-                                    jax.nn.gelu(_lin_apply(mp["fc1"], h)))
+                                    _gelu(_lin_apply(mp["fc1"], h)))
             h = cm.layer_norm_apply(mp["ln2"],
-                                    jax.nn.gelu(_lin_apply(mp["fc2"], h)))
+                                    _gelu(_lin_apply(mp["fc2"], h)))
             outs.append(_lin_apply(mp["out"], h))
         return jnp.stack(outs, axis=1)
-    x = jax.nn.gelu(_lin_apply(p["act_embed"], shifted_action))
+    x = _gelu(_lin_apply(p["act_embed"], shifted_action))
     x = cm.layer_norm_apply(p["ln"], x)
     for blk in p["blocks"]:
         x = cm.layer_norm_apply(
@@ -193,7 +198,7 @@ def decoder_apply(p, shifted_action, obs_rep, obs, n_head,
             blk["ln2"],
             obs_rep + attn_apply(blk["attn2"], x, x, obs_rep, n_head, True))
         x = cm.layer_norm_apply(blk["ln3"], x + _mlp_block_apply(blk["mlp"], x))
-    h = jax.nn.gelu(_lin_apply(p["head1"], x))
+    h = _gelu(_lin_apply(p["head1"], x))
     return _lin_apply(p["head2"], cm.layer_norm_apply(p["head_ln"], h))
 
 
