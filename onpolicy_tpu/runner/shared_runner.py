@@ -103,7 +103,13 @@ class SharedRunner:
             self._restore_meta = (step, rkey)
         env_states, obs = self.envs.reset(k_env)
         carry = self._fresh_carry(env_states, obs)
-        if len(self.mesh.devices.flat) > 1:
+        if jax.process_count() > 1:
+            # multi-host: every process computed the same full-batch
+            # reset from the shared key; each contributes its local rows
+            from onpolicy_tpu.parallel import distributed
+            train_state, carry = distributed.shard_train_inputs_multihost(
+                self.mesh, train_state, carry, self.N)
+        elif len(self.mesh.devices.flat) > 1:
             train_state, carry = mesh_lib.shard_train_inputs(
                 self.mesh, train_state, carry)
         return train_state, carry
