@@ -79,7 +79,7 @@ class MPEEnv:
         self.num_agents = M
         self._sensitivity = np.array(
             [a if a is not None else 5.0 for a in spec.agent_accel],
-            np.float32)
+            np.float64)
 
     # -- pure functions ----------------------------------------------
     def reset(self, key: jax.Array):
@@ -103,10 +103,10 @@ class MPEEnv:
             has_comm = self._comm_col >= 0
             ccol = np.maximum(self._comm_col, 0)
             ci = a[np.arange(M), ccol]
-            c = jax.nn.one_hot(ci, spec.dim_c, dtype=jnp.float32)
+            c = jax.nn.one_hot(ci, spec.dim_c)  # canonical float (f64 in golden x64 mode)
             c = jnp.where(has_comm[:, None], c, 0.0)
         else:
-            c = jnp.zeros((M, 1), jnp.float32)
+            c = jnp.zeros((M, 1))
         return u, c
 
     def step(self, state, actions: jax.Array, key: jax.Array):

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from onpolicy_tpu.envs.mpe import scenario as sc
 from onpolicy_tpu.envs.mpe.world import WorldSpec
@@ -21,7 +22,7 @@ LANDMARK_COLORS = jnp.array([
     [0.75, 0.25, 0.25],
     [0.25, 0.75, 0.25],
     [0.25, 0.25, 0.75],
-], jnp.float32)
+], np.float64)
 
 
 def make_spec(args) -> WorldSpec:

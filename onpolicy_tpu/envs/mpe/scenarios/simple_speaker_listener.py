@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from onpolicy_tpu.envs.mpe import scenario as sc
 from onpolicy_tpu.envs.mpe.world import WorldSpec
@@ -25,7 +26,7 @@ LANDMARK_COLORS = jnp.array([
     [0.65, 0.15, 0.15],
     [0.15, 0.65, 0.15],
     [0.15, 0.15, 0.65],
-], jnp.float32)
+], np.float64)
 
 
 def make_spec(args) -> WorldSpec:

@@ -96,10 +96,10 @@ class WorldSpec:
 
     def entity_arrays(self):
         """(sizes[E], collide[E], movable[E], mass[E]) as numpy."""
-        sizes = np.array(self.agent_size + self.landmark_size, np.float32)
+        sizes = np.array(self.agent_size + self.landmark_size, np.float64)
         collide = np.array(self.agent_collide + self.landmark_collide, bool)
         movable = np.array(self.agent_movable + self.landmark_movable, bool)
-        mass = np.array(self.agent_mass + self.landmark_mass, np.float32)
+        mass = np.array(self.agent_mass + self.landmark_mass, np.float64)
         return sizes, collide, movable, mass
 
 
@@ -142,7 +142,7 @@ def _wall_forces(spec: WorldSpec, pos: jax.Array) -> jax.Array:
     """Wall contact forces on agents (`core.py:324-361`). pos: [M, 2]."""
     if not spec.walls:
         return jnp.zeros_like(pos)
-    sizes = np.array(spec.agent_size, np.float32)[:, None]     # [M,1]
+    sizes = np.array(spec.agent_size, np.float64)[:, None]     # [M,1]
     ghost = np.array(spec.agent_ghost, bool)
     total = jnp.zeros_like(pos)
     for wall in spec.walls:
@@ -180,14 +180,14 @@ def physics_step(spec: WorldSpec, state: WorldState, u: jax.Array,
     """One world step. u: [M, 2] sensitivity-scaled control; c: [M, dim_c]."""
     M = spec.n_agents
     accel = np.array([a if a is not None else np.nan
-                      for a in spec.agent_accel], np.float32)
-    mass_a = np.array(spec.agent_mass, np.float32)
+                      for a in spec.agent_accel], np.float64)
+    mass_a = np.array(spec.agent_mass, np.float64)
     movable_a = np.array(spec.agent_movable, bool)
     # force = mass·accel·u when accel set, else mass·u (core.py:236-237)
     factor = np.where(np.isnan(accel), mass_a, mass_a * accel)
     action_force = factor[:, None] * u
 
-    u_noise = np.array([n if n else 0.0 for n in spec.agent_u_noise], np.float32)
+    u_noise = np.array([n if n else 0.0 for n in spec.agent_u_noise], np.float64)
     if u_noise.any():
         key, kn = jax.random.split(key)
         action_force = action_force + jax.random.normal(kn, u.shape) * u_noise[:, None]
@@ -203,7 +203,7 @@ def physics_step(spec: WorldSpec, state: WorldState, u: jax.Array,
     new_vel = vel * (1.0 - spec.damping) + (force / mass[:, None]) * spec.dt
     max_speed = np.array(
         [s if s is not None else np.nan for s in spec.agent_max_speed]
-        + [np.nan] * spec.n_landmarks, np.float32)
+        + [np.nan] * spec.n_landmarks, np.float64)
     speed = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(new_vel), -1), EPS))
     clamp = ~np.isnan(max_speed) & (speed > jnp.nan_to_num(max_speed, nan=np.inf))
     scale = jnp.where(clamp, jnp.nan_to_num(max_speed, nan=1.0) / speed, 1.0)
@@ -216,7 +216,7 @@ def physics_step(spec: WorldSpec, state: WorldState, u: jax.Array,
     if spec.dim_c > 0:
         comm = c
         c_noise = np.array([n if n else 0.0 for n in spec.agent_c_noise],
-                           np.float32)
+                           np.float64)
         if c_noise.any():
             key, kc = jax.random.split(key)
             comm = comm + jax.random.normal(kc, c.shape) * c_noise[:, None]
