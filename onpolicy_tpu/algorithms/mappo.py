@@ -210,9 +210,17 @@ class MAPPO:
             buf.advantages,
             buf.active_masks[:-1] if cfg.use_policy_active_masks else None)
 
-        def epoch_fn(st, ekey):
-            mbs = self._sample_minibatches(buf, adv, ekey, factor=factor)
-            return jax.lax.scan(self._update, st, mbs)
+        if cfg.num_mini_batch == 1:
+            # the single-minibatch "sampler" is permutation-free, so its
+            # output is identical every epoch — build it once and reuse,
+            # instead of re-materializing the chunked buffer layout
+            # (≈1 GB of transposes at bench shapes) inside every epoch
+            mbs = self._sample_minibatches(buf, adv, key, factor=factor)
+            epoch_fn = lambda st, ekey: jax.lax.scan(self._update, st, mbs)
+        else:
+            def epoch_fn(st, ekey):
+                mbs = self._sample_minibatches(buf, adv, ekey, factor=factor)
+                return jax.lax.scan(self._update, st, mbs)
 
         keys = jax.random.split(key, cfg.ppo_epoch)
         state, metrics = jax.lax.scan(epoch_fn, state, keys)

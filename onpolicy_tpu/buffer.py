@@ -247,6 +247,19 @@ def recurrent_minibatches(buf: RolloutBuffer, advantages: jax.Array,
         y = jnp.moveaxis(x, 0, 2).reshape(N * M * T, *x.shape[3:])
         return y[:n_chunks * L].reshape(n_chunks, L, *x.shape[3:])
 
+    # rnn fields: only the CHUNK-START state is consumed — gather those
+    # T·N·M/L rows straight from the [T,N,M,...] layout instead of
+    # transposing the full [T,N,M,recurrent_N,H] arrays (at bench shapes
+    # that transpose was ~630 MB of pure waste per epoch).
+    starts = jnp.arange(n_chunks) * L          # flat env-major positions
+    t_idx = starts % T
+    rem = starts // T
+    m_idx = rem % M
+    n_idx = rem // M
+
+    def start_states(x):
+        return x[t_idx, n_idx, m_idx]          # [n_chunks, ...]
+
     if num_mini_batch == 1:
         idx = None  # whole batch in one minibatch: chunk order irrelevant
     else:
@@ -255,12 +268,13 @@ def recurrent_minibatches(buf: RolloutBuffer, advantages: jax.Array,
 
     out = {}
     for k, x in d.items():
+        if k in ("rnn_states", "rnn_states_critic"):
+            h0 = start_states(x)               # [n_chunks, ...]
+            out[k] = h0[None] if idx is None else h0[idx]
+            continue
         chunks = to_chunks(x)
         chunks = (chunks[None] if idx is None else chunks[idx])  # [nmb,mb,L,..]
-        if k in ("rnn_states", "rnn_states_critic"):
-            out[k] = chunks[:, :, 0]          # state at chunk start
-        else:
-            out[k] = jnp.swapaxes(chunks, 1, 2)  # [nmb, L, mb, ...]
+        out[k] = jnp.swapaxes(chunks, 1, 2)  # [nmb, L, mb, ...]
     return out
 
 

@@ -72,6 +72,13 @@ class Config:
     # round instead of one per seat; staging math on device). Equivalent
     # to the host loop (tests/test_hanabi_device_collect.py).
     use_device_collect: bool = False
+    # Mixed precision: run base/GRU matmuls + LayerNorms in bfloat16
+    # (params, distribution math, losses and optimizer state stay fp32).
+    # TPU-native speed mode with no reference analogue (the reference is
+    # fp32 torch); the MXU natively consumes bf16 and the elementwise
+    # chains are HBM-bandwidth-bound, so this roughly halves both
+    # compute and traffic on the hot path. Off by default.
+    use_bf16: bool = False
 
     # ---- optimizer ----
     lr: float = 5e-4

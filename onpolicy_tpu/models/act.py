@@ -64,6 +64,7 @@ def sample(cfg, params, space, x: jax.Array, key: jax.Array,
            available_actions: Optional[jax.Array] = None,
            deterministic: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Returns (actions [B, A_store], log_probs [B, A_logp])."""
+    x = x.astype(jnp.float32)   # heads + distribution math stay fp32
     if isinstance(space, sp.MultiDiscrete):
         actions, lps = [], []
         for i, n in enumerate(space.nvec):
@@ -92,6 +93,7 @@ def evaluate(cfg, params, space, x: jax.Array, action: jax.Array,
              active_masks: Optional[jax.Array] = None
              ) -> Tuple[jax.Array, jax.Array]:
     """Returns (log_probs [B, A_logp], entropy scalar)."""
+    x = x.astype(jnp.float32)
     if isinstance(space, sp.MultiDiscrete):
         lps, ents = [], []
         for i, n in enumerate(space.nvec):
@@ -115,6 +117,7 @@ def evaluate(cfg, params, space, x: jax.Array, action: jax.Array,
 
 def evaluate_trpo(cfg, params, space, x, action, available_actions=None,
                   active_masks=None):
+    x = x.astype(jnp.float32)
     """HATRPO variant: also returns (mu, std, all_probs)
     (`act.py:180-235`). NOTE all_probs is the (masked) LOGITS vector for
     discrete spaces — the reference appends `action_logit.logits`
@@ -136,6 +139,7 @@ def evaluate_trpo(cfg, params, space, x, action, available_actions=None,
 
 
 def get_probs(cfg, params, space, x, available_actions=None):
+    x = x.astype(jnp.float32)
     if isinstance(space, sp.MultiDiscrete):
         return jnp.concatenate(
             [D.Categorical.create(cm.linear_apply(params["heads"][i], x)).probs

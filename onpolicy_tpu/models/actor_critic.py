@@ -167,7 +167,8 @@ class Critic:
         x = self._features(params, cent_obs)
         if self.cfg.is_recurrent:
             x, rnn_states = gru.step(self.cfg, params["rnn"], x, rnn_states, masks)
-        return common.linear_apply(params["v_out"], x), rnn_states
+        # value head in fp32 (features may be bf16 under use_bf16)
+        return common.linear_apply(params["v_out"], x.astype(jnp.float32)), rnn_states
 
     def forward_seq(self, params, cent_obs, rnn_states, masks
                     ) -> jax.Array:
@@ -177,4 +178,4 @@ class Critic:
         x = x.reshape(L, B, -1)
         if self.cfg.is_recurrent:
             x, _ = gru.sequence(self.cfg, params["rnn"], x, rnn_states, masks)
-        return common.linear_apply(params["v_out"], x)
+        return common.linear_apply(params["v_out"], x.astype(jnp.float32))

@@ -44,7 +44,9 @@ def init(key, cfg, obs_shape):
 def apply(cfg, params, x: jax.Array) -> jax.Array:
     """x: [B, C, W, H] → [B, hidden]."""
     act = cm.activation_fn(cfg.use_ReLU)
-    x = x.astype(jnp.float32) / 255.0
+    dt = cm.compute_dtype(cfg)
+    params = cm.cast_floats(params, dt)
+    x = (x.astype(jnp.float32) / 255.0).astype(dt)
     x = jnp.transpose(x, (0, 2, 3, 1))  # NCHW → NHWC
     y = jax.lax.conv_general_dilated(
         x, params["conv"]["w"], window_strides=(STRIDE, STRIDE),

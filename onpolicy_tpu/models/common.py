@@ -63,3 +63,19 @@ def layer_norm_apply(p, x):
 
 def activation_fn(use_relu: bool):
     return jax.nn.relu if use_relu else jnp.tanh
+
+
+def compute_dtype(cfg):
+    """bf16 mixed-precision compute (cfg.use_bf16): matmuls/LN run in
+    bfloat16, params and distribution/loss math stay fp32."""
+    return jnp.bfloat16 if getattr(cfg, "use_bf16", False) else jnp.float32
+
+
+def cast_floats(tree, dtype):
+    """Cast float leaves of a param subtree to the compute dtype (no-op
+    for fp32). Integer leaves pass through."""
+    if dtype == jnp.float32:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)

@@ -62,10 +62,13 @@ def step(cfg, params, x: jax.Array, hxs: jax.Array, masks: jax.Array):
     """Single rollout step.
 
     x: [B, in]; hxs: [B, recurrent_N, H]; masks: [B, 1].
-    Returns (out [B, H], new_hxs [B, recurrent_N, H]).
+    Returns (out [B, H], new_hxs [B, recurrent_N, H] fp32).
     """
-    m = masks[..., None]                      # [B, 1, 1]
-    hxs = hxs * m
+    dt = cm.compute_dtype(cfg)
+    params = cm.cast_floats(params, dt)
+    m = masks[..., None].astype(dt)           # [B, 1, 1]
+    hxs = hxs.astype(dt) * m
+    x = x.astype(dt)
     new_h = []
     inp = x
     for i, layer in enumerate(params["layers"]):
@@ -73,7 +76,7 @@ def step(cfg, params, x: jax.Array, hxs: jax.Array, masks: jax.Array):
         new_h.append(h)
         inp = h
     out = cm.layer_norm_apply(params["norm"], inp)
-    return out, jnp.stack(new_h, axis=1)
+    return out, jnp.stack(new_h, axis=1).astype(jnp.float32)
 
 
 def sequence(cfg, params, xs: jax.Array, hxs: jax.Array, masks: jax.Array):
@@ -86,11 +89,14 @@ def sequence(cfg, params, xs: jax.Array, hxs: jax.Array, masks: jax.Array):
         from onpolicy_tpu.ops import pallas_gru
         return pallas_gru.sequence(cfg, params, xs, hxs, masks)
 
+    dt = cm.compute_dtype(cfg)
+    params = cm.cast_floats(params, dt)
+
     def body(h, xm):
         x, m = xm
-        h = h * m[..., None]
+        h = h * m[..., None].astype(dt)
         new_h = []
-        inp = x
+        inp = x.astype(dt)
         for i, layer in enumerate(params["layers"]):
             hi = _cell(layer, inp, h[:, i])
             new_h.append(hi)
@@ -98,6 +104,6 @@ def sequence(cfg, params, xs: jax.Array, hxs: jax.Array, masks: jax.Array):
         h = jnp.stack(new_h, axis=1)
         return h, inp
 
-    final_h, outs = jax.lax.scan(body, hxs, (xs, masks))
+    final_h, outs = jax.lax.scan(body, hxs.astype(dt), (xs, masks))
     outs = cm.layer_norm_apply(params["norm"], outs)
-    return outs, final_h
+    return outs, final_h.astype(jnp.float32)

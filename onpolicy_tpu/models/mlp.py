@@ -36,6 +36,9 @@ def init(key, cfg, input_dim: int):
 
 def apply(cfg, params, x: jax.Array) -> jax.Array:
     act = cm.activation_fn(cfg.use_ReLU)
+    dt = cm.compute_dtype(cfg)
+    params = cm.cast_floats(params, dt)
+    x = x.astype(dt)
     if cfg.use_feature_normalization:
         x = cm.layer_norm_apply(params["feature_norm"], x)
     for layer in params["layers"]:
