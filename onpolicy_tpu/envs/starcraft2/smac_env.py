@@ -39,28 +39,38 @@ from onpolicy_tpu.utils import spaces as sp
 class SMACEnv:
     def __init__(self, map_name: str = "3s5z", seed: Optional[int] = None,
                  state_type: str = "env", obs_last_action: bool = False,
-                 state_options: Optional[dict] = None, **smac_kwargs):
+                 state_options: Optional[dict] = None,
+                 reference_obs: bool = True, **smac_kwargs):
         try:
             from smac.env import StarCraft2Env
         except ImportError as e:  # pragma: no cover
             raise ImportError(
                 "SMACEnv requires the `smac` package and a StarCraft II "
                 "install (https://github.com/oxwhirl/smac)") from e
+        self._seed = seed
         self._make = lambda: StarCraft2Env(
-            map_name=map_name, seed=seed, obs_last_action=obs_last_action,
-            **smac_kwargs)
+            map_name=map_name, seed=self._seed,
+            obs_last_action=obs_last_action, **smac_kwargs)
         self.env = self._make()
         info = self.env.get_env_info()
         self.num_agents = M = info["n_agents"]
         self.n_actions = info["n_actions"]
         self.episode_limit = info["episode_limit"]
         self.state_type = state_type
-        obs_dim = info["obs_shape"]
         state_dim = info["state_shape"]
+        from onpolicy_tpu.envs.starcraft2 import obs_builder as ob
         from onpolicy_tpu.envs.starcraft2 import state_builder as sb
         self._state_options = dict(state_options or {})
         self._sb_cfg = dataclasses.replace(
             sb.config_from_smac(self.env), **self._state_options)
+        # reference_obs: build observations with the reference's
+        # get_obs_agent semantics (obs_builder) instead of delegating to
+        # pip smac's get_obs — the reference constructs its env with
+        # obs_last_action=True and obs_agent_id=True (which pip smac
+        # lacks), so the delegated vector would be smaller.
+        self._reference_obs = reference_obs
+        obs_dim = (ob.obs_dim(self._sb_cfg) if reference_obs
+                   else info["obs_shape"])
         if state_type == "concat":
             share_dim = obs_dim * M
         elif state_type == "agent":
@@ -94,7 +104,13 @@ class SMACEnv:
         return sb.all_env_states(self._sb_cfg, snap, local_obs=np.asarray(obs))
 
     def _gather(self):
-        obs = np.asarray(self.env.get_obs(), np.float32)
+        if self._reference_obs:
+            from onpolicy_tpu.envs.starcraft2 import obs_builder as ob
+            from onpolicy_tpu.envs.starcraft2 import state_builder as sb
+            snap = sb.snapshot_from_smac(self.env)
+            obs = ob.all_obs(self._sb_cfg, snap)
+        else:
+            obs = np.asarray(self.env.get_obs(), np.float32)
         avail = np.asarray(self.env.get_avail_actions(), np.float32)
         return obs, self._share_obs(obs), avail
 
@@ -163,7 +179,17 @@ class SMACEnv:
         return obs, share, rewards, dones, infos, avail
 
     def seed(self, seed):
-        pass  # smac seeds at construction
+        """Re-seed after construction — the reference eval pools call
+        seed(seed*50000 + rank*10000) (`train_smac.py` eval wrappers).
+        smac consumes the seed at (re)launch, so stash it for the next
+        restart AND push it into the live engine's RNG state."""
+        self._seed = seed
+        if hasattr(self.env, "_seed"):
+            self.env._seed = seed
+        rng = getattr(self.env, "np_random", None) or getattr(
+            getattr(self.env, "_env", None), "np_random", None)
+        if rng is not None and hasattr(rng, "seed"):
+            rng.seed(seed)
 
     def close(self):
         self.env.close()

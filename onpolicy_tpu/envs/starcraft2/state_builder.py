@@ -41,6 +41,12 @@ class StateConfig:
     shield_bits_enemy: int = 0
     obs_all_health: bool = True
     obs_own_health: bool = True
+    # observation-path flags (reference construction defaults,
+    # StarCraft2_Env.py:77-84 — note pip smac defaults obs_last_action
+    # False and has no obs_agent_id; consumed by obs_builder)
+    obs_last_action: bool = True
+    obs_agent_id: bool = True
+    obs_timestep_number: bool = False
     add_center_xy: bool = True
     state_last_action: bool = True
     state_agent_id: bool = True
