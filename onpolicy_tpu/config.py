@@ -72,6 +72,12 @@ class Config:
     # round instead of one per seat; staging math on device). Equivalent
     # to the host loop (tests/test_hanabi_device_collect.py).
     use_device_collect: bool = False
+    # Hanabi: scan-of-rounds — the WHOLE episode (T seat rounds +
+    # deferred train + buffer writes) as one jitted program; one device
+    # dispatch per episode instead of per buffer step. Implies the
+    # device-collect staging math; equivalent to the host loop
+    # (tests/test_hanabi_device_collect.py).
+    use_scan_rounds: bool = False
     # Mixed precision: run base/GRU matmuls + LayerNorms in bfloat16
     # (params, distribution math, losses and optimizer state stay fp32).
     # TPU-native speed mode with no reference analogue (the reference is

@@ -310,6 +310,86 @@ class HanabiRunner:
         return c, aux
 
     # ------------------------------------------------------------------
+    # scan-of-rounds: the WHOLE EPISODE (T seat rounds + deferred train +
+    # choose-insert buffer writes) is one jitted program. The buffer
+    # lives on device in `dbuf`; the host sees one dispatch per episode
+    # instead of one per buffer step (the round-1 wall-clock bottleneck —
+    # each dispatch pays the remote-TPU round trip). Equivalence with the
+    # host loop: tests/test_hanabi_device_collect.py.
+    def _write_slot(self, dbuf, step, c, masks_insert):
+        up = lambda name, arr, idx, val: dbuf.__setitem__(
+            name, arr.at[idx].set(val))
+        up("share_obs", dbuf["share_obs"], step, c["share_obs"])
+        up("obs", dbuf["obs"], step, c["obs"])
+        up("rnn_states", dbuf["rnn_states"], step + 1, c["rnn"])
+        up("rnn_states_critic", dbuf["rnn_states_critic"], step + 1,
+           c["rnn_critic"])
+        up("actions", dbuf["actions"], step, c["actions"])
+        up("action_log_probs", dbuf["action_log_probs"], step, c["logp"])
+        up("value_preds", dbuf["value_preds"], step, c["values"])
+        up("rewards", dbuf["rewards"], step, c["rewards"])
+        up("masks", dbuf["masks"], step + 1, masks_insert)
+        up("active_masks", dbuf["active_masks"], step, c["active"])
+        up("available_actions", dbuf["available_actions"], step, c["avail"])
+        return dbuf
+
+    def _device_episode(self, train_state, carry, dbuf, key, do_train):
+        """One full episode on device. Returns (train_state, carry, dbuf,
+        metrics) — metrics include train stats (when do_train) and the
+        episode's score/true-step accumulators."""
+        T = self.cfg.episode_length
+        carry, aux = self._device_round(train_state, carry, key)
+        key = aux["key"]
+        score_sum = aux["score_sum"]
+        score_n = aux["score_n"]
+        true_delta = aux["true_delta"]
+
+        metrics = {}
+        if do_train:
+            # deferred train (hanabi_runner_forward.py:52-67): patch the
+            # PREVIOUS episode's tail slot with this fresh round, shift
+            # rewards one step, then GAE + PPO
+            dbuf = dict(dbuf)
+            dbuf["share_obs"] = dbuf["share_obs"].at[-1].set(carry["share_obs"])
+            dbuf["obs"] = dbuf["obs"].at[-1].set(carry["obs"])
+            dbuf["available_actions"] = \
+                dbuf["available_actions"].at[-1].set(carry["avail"])
+            dbuf["active_masks"] = \
+                dbuf["active_masks"].at[-1].set(carry["active"])
+            shifted = jnp.concatenate(
+                [dbuf["rewards"][1:], carry["rewards"][None]], axis=0)
+            dbuf["rewards"] = shifted
+            key, k_train = jax.random.split(key)
+            buf = buf_lib.RolloutBuffer(**dbuf)
+            train_state, metrics = self._compute_and_train(
+                train_state, buf, k_train)
+            metrics = dict(metrics)
+            metrics["average_step_rewards"] = jnp.mean(dbuf["rewards"])
+
+        dbuf = self._write_slot(dict(dbuf), 0, carry, aux["masks_insert"])
+
+        def body(sc, _):
+            carry, dbuf, key, acc = sc
+            step, ssum, sn, td = acc
+            carry, aux = self._device_round(train_state, carry, key)
+            dbuf = self._write_slot(dict(dbuf), step, carry,
+                                    aux["masks_insert"])
+            acc = (step + 1, ssum + aux["score_sum"], sn + aux["score_n"],
+                   td + aux["true_delta"])
+            return (carry, dbuf, aux["key"], acc), None
+
+        # serial key threading — identical split chain to the host loop
+        (carry, dbuf, key, acc), _ = jax.lax.scan(
+            body, (carry, dbuf, key,
+                   (jnp.asarray(1), score_sum, score_n, true_delta)),
+            None, length=T - 1)
+        _, score_sum, score_n, true_delta = acc
+        metrics["_score_sum"] = score_sum
+        metrics["_score_n"] = score_n
+        metrics["_true_delta"] = true_delta
+        return train_state, carry, dbuf, key, metrics
+
+    # ------------------------------------------------------------------
     def run(self, key=None, log_fn=print, save_dir=None):
         cfg = self.cfg
         N, M, T = self.N, self.num_agents, cfg.episode_length
@@ -343,12 +423,57 @@ class HanabiRunner:
         metrics = {}
         start = time.perf_counter()
 
-        device = cfg.use_device_collect
+        scan_rounds = cfg.use_scan_rounds
+        device = cfg.use_device_collect or scan_rounds
         if device:
             carry = self._init_device_carry(use["obs"], use["share"],
                                             use["avail"], turn)
             round_jit = jax.jit(self._device_round)
             ep_score_sum, ep_score_n = 0.0, 0
+        if scan_rounds:
+            dbuf = {k: jnp.asarray(v) for k, v in bufnp.items()}
+            ep_first = jax.jit(
+                lambda ts, c, b, k: self._device_episode(ts, c, b, k, False))
+            ep_train = jax.jit(
+                lambda ts, c, b, k: self._device_episode(ts, c, b, k, True))
+            for episode in range(self.episodes):
+                fn = ep_first if episode == 0 else ep_train
+                train_state, carry, dbuf, key, m = fn(
+                    train_state, carry, dbuf, key)
+                if save_dir and (episode % max(cfg.save_interval, 1) == 0
+                                 or episode == self.episodes - 1):
+                    ckpt_lib.save(save_dir, train_state, step=episode,
+                                  key=jax.device_get(key))
+                if cfg.use_eval and self.eval_envs is not None \
+                        and episode % cfg.eval_interval == 0:
+                    key, k_ev = jax.random.split(jax.device_get(key))
+                    metrics["eval_average_score"] = self.evaluate(
+                        train_state, cfg.eval_episodes, key=k_ev,
+                        env=self.eval_envs)
+                if (episode % cfg.log_interval == 0 and episode > 0) \
+                        or episode == self.episodes - 1:
+                    m = jax.device_get(m)
+                    self.true_total_num_steps += int(m.pop("_true_delta"))
+                    sn = int(m.pop("_score_n"))
+                    avg = float(m.pop("_score_sum")) / max(sn, 1)
+                    metrics.update({k: float(v) for k, v in m.items()})
+                    steps_total = (episode + 1) * T * self.N
+                    row = {"episode": episode, "steps": steps_total,
+                           "true_steps": self.true_total_num_steps,
+                           "fps": steps_total
+                           / (time.perf_counter() - start),
+                           "average_score": avg, **metrics}
+                    history.append(row)
+                    if log_fn is print:
+                        print(f"ep {episode} steps {steps_total} "
+                              f"score {row['average_score']:.2f}")
+                    elif log_fn is not None:
+                        log_fn(row)
+                else:
+                    # keep true-step accounting exact between logs
+                    self.true_total_num_steps += int(
+                        jax.device_get(m["_true_delta"]))
+            return train_state, history
 
         for episode in range(self.episodes):
             ep_scores = []

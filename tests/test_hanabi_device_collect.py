@@ -126,6 +126,35 @@ def test_device_round_matches_host_round(extra):
     rd.envs.close()
 
 
+def test_scan_rounds_matches_host_run():
+    """use_scan_rounds (whole episode = ONE jitted program) reproduces
+    the host loop's training trajectory: same seeds → same metrics and
+    matching final parameters."""
+    extra = ("--episode_length", "8", "--num_env_steps", "288",
+             "--ppo_epoch", "2", "--hidden_size", "32")
+    rh = _make_runner(extra)
+    rs = _make_runner(extra + ("--use_scan_rounds", "true"))
+    ts_h, hist_h = rh.run(jax.random.PRNGKey(0), log_fn=None)
+    ts_s, hist_s = rs.run(jax.random.PRNGKey(0), log_fn=None)
+    rows_h = [r for r in hist_h if "value_loss" in r]
+    rows_s = [r for r in hist_s if "value_loss" in r]
+    assert rows_h and len(rows_h) == len(rows_s)
+    for a, b in zip(rows_h, rows_s):
+        assert a["episode"] == b["episode"]
+        assert a["true_steps"] == b["true_steps"]
+        np.testing.assert_allclose(a["value_loss"], b["value_loss"],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(a["average_score"], b["average_score"],
+                                   rtol=1e-6, atol=1e-6)
+    leaves_h = jax.tree_util.tree_leaves(ts_h.actor_params)
+    leaves_s = jax.tree_util.tree_leaves(ts_s.actor_params)
+    for lh, ls in zip(leaves_h, leaves_s):
+        np.testing.assert_allclose(np.asarray(lh), np.asarray(ls),
+                                   rtol=1e-4, atol=1e-5)
+    rh.envs.close()
+    rs.envs.close()
+
+
 def test_device_collect_full_run_trains():
     """run() with use_device_collect goes through deferred train, buffer
     slotting, logging, and produces finite losses."""
