@@ -55,10 +55,10 @@ def data_sharded(mesh: Mesh) -> NamedSharding:
 
 
 def _param_spec(x, tp: int) -> P:
-    """Tensor-parallel spec for one parameter leaf: shard the widest
-    shardable dim along 'model' (output/hidden dim preferred — megatron
-    column sharding; falls back to the input dim for e.g. the [H, 1]
-    value head), replicate anything indivisible."""
+    """Tensor-parallel spec for one parameter leaf: prefer the LAST
+    (output/hidden) dim when divisible — megatron column sharding —
+    falling back to the second-to-last (e.g. the [H, 1] value head);
+    replicate anything indivisible. Layout-only: semantics unchanged."""
     if x.ndim >= 2:
         if x.shape[-1] % tp == 0:
             return P(*([None] * (x.ndim - 1) + [MODEL_AXIS]))

@@ -78,6 +78,21 @@ def test_separated_mesh_matches_single_device():
         rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_separated_2d_mesh_matches_single_device():
+    """Separated/HAPPO path on a (data=2, model=2) tensor-sharded mesh
+    == 1-device (round-1 advisor gap: only the data-parallel separated
+    case was covered)."""
+    p1, m1 = _run_separated(1)
+    p22, m22 = _run_separated("2,2")
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p22)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        m1["average_episode_rewards"], m22["average_episode_rewards"],
+        rtol=2e-4, atol=1e-5)
+
+
 def test_param_spec_rule():
     """Leaf rule: widest shardable dim goes to 'model', indivisible
     leaves replicate."""
