@@ -65,6 +65,9 @@ def bench(n_envs: int = 16384, episode_length: int = 25,
         "--ppo_epoch", "10", "--num_mini_batch", "1",
         "--lr", "7e-4", "--critic_lr", "7e-4",
         "--hidden_size", "64",
+        "--use_bf16",  # TPU-native mixed precision: matmuls/LN in bf16,
+        # heads/distributions/losses/optimizer fp32 (learning parity
+        # pinned by tests/test_bf16.py; fp32 path ~1.56M steps/s)
     ])
     runner = SharedRunner(cfg)
     key = jax.random.PRNGKey(0)
@@ -96,7 +99,9 @@ def bench(n_envs: int = 16384, episode_length: int = 25,
     flops_per_episode = None
     tflops = None
     try:
-        compiled = jax.jit(runner._episode_fn).lower(
+        # runner._episode_fn is already a jit wrapper — lowering it
+        # reuses the compile cache instead of recompiling from scratch
+        compiled = runner._episode_fn.lower(
             train_state, carry, key).compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, list):
@@ -118,6 +123,7 @@ def bench(n_envs: int = 16384, episode_length: int = 25,
                 "a no-op through the axon tunnel)",
         "window_s": window_s,
         "episodes_per_window": measure_episodes,
+        "precision": "bf16 compute / fp32 heads+optimizer",
     }
     if flops_per_episode is not None:
         out["flops_per_episode"] = round(flops_per_episode / 1e9, 2)

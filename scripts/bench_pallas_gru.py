@@ -19,14 +19,25 @@ from onpolicy_tpu.models import gru
 from onpolicy_tpu.ops import pallas_gru
 
 
-def bench(fn, args, iters=50):
-    out = jax.block_until_ready(fn(*args))
+def _sync(out):
+    """Forced device->host transfer: block_until_ready does NOT
+    synchronize through the axon tunnel (round-1 lesson — it recorded
+    dispatch time, not execution time)."""
+    leaves = [l for l in jax.tree_util.tree_leaves(out)
+              if hasattr(l, "dtype")]
+    return float(jax.device_get(
+        sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)))
+
+
+def bench(fn, args, iters=20):
+    _sync(fn(*args))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
+        out = None
         for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
