@@ -78,6 +78,10 @@ class Config:
     # device-collect staging math; equivalent to the host loop
     # (tests/test_hanabi_device_collect.py).
     use_scan_rounds: bool = False
+    # Hanabi: device-resident pure-JAX engine (envs/hanabi/jax_engine,
+    # bit-exact vs the C++/HLE engines) instead of the host C++ fleet —
+    # with use_scan_rounds the episode runs with ZERO host callbacks.
+    use_jax_env: bool = False
     # Mixed precision: run base/GRU matmuls + LayerNorms in bfloat16
     # (params, distribution math, losses and optimizer state stay fp32).
     # TPU-native speed mode with no reference analogue (the reference is

@@ -39,11 +39,22 @@ class HanabiRunner:
                  eval_env: Optional[HanabiVecEnv] = None):
         cfg = cfg.validate()
         self.cfg = cfg
-        self.envs = vec_env if vec_env is not None else HanabiVecEnv(
-            cfg.scenario_name if cfg.scenario_name.startswith("Hanabi")
-            else "Hanabi-Small", cfg.num_agents, cfg.n_rollout_threads,
-            seed=cfg.seed,
-            use_obs_instead_of_state=cfg.use_obs_instead_of_state)
+        name = (cfg.scenario_name if cfg.scenario_name.startswith("Hanabi")
+                else "Hanabi-Small")
+        if vec_env is not None:
+            self.envs = vec_env
+        elif cfg.use_jax_env:
+            # device-resident fleet (pure-JAX engine, zero host callbacks
+            # in the scan-of-rounds episode)
+            from onpolicy_tpu.envs.hanabi.jax_fleet import JaxHanabiFleet
+            self.envs = JaxHanabiFleet(
+                name, cfg.num_agents, cfg.n_rollout_threads, seed=cfg.seed,
+                use_obs_instead_of_state=cfg.use_obs_instead_of_state)
+        else:
+            self.envs = HanabiVecEnv(
+                name, cfg.num_agents, cfg.n_rollout_threads, seed=cfg.seed,
+                use_obs_instead_of_state=cfg.use_obs_instead_of_state)
+        self._pure_env = hasattr(self.envs, "pure_step")
         self.eval_envs = eval_env
         self.num_agents = M = self.envs.num_agents
         self.N = self.envs.n_envs
@@ -201,11 +212,14 @@ class HanabiRunner:
 
     def _init_device_carry(self, use_obs, use_share, use_avail, turn):
         j = jnp.asarray
-        return {
+        c = {
             "use_obs": j(use_obs), "use_share": j(use_share),
             "use_avail": j(use_avail),
             **{k: j(v) for k, v in turn.items()},
         }
+        if self._pure_env:
+            c["env_states"] = self.envs._states   # device pytree
+        return c
 
     def _device_round(self, train_state, carry, key):
         from jax.experimental import io_callback
@@ -254,8 +268,15 @@ class HanabiRunner:
             env_actions = jnp.where(
                 choose, actions[:, 0].astype(jnp.int64), -1)
 
-            obs, share, rewards, done, avail, score = io_callback(
-                self._env_step_cb, step_shapes, env_actions, ordered=True)
+            if self._pure_env:
+                (c["env_states"], obs, share, rewards, done, avail,
+                 score) = self.envs.pure_step(c["env_states"], env_actions)
+                if not cfg.use_centralized_V:
+                    share = obs
+            else:
+                obs, share, rewards, done, avail, score = io_callback(
+                    self._env_step_cb, step_shapes, env_actions,
+                    ordered=True)
             true_delta = true_delta + jnp.sum(choose.astype(jnp.int32))
             c["use_obs"], c["use_share"], c["use_avail"] = obs, share, avail
 
@@ -297,8 +318,17 @@ class HanabiRunner:
 
         # the buffer slots the PRE-reset masks at step t+1
         masks_insert = c["masks"]
-        fresh_obs, fresh_share, fresh_avail = io_callback(
-            self._env_reset_cb, reset_shapes, reset_choose, ordered=True)
+        if self._pure_env:
+            key, k_reset = jax.random.split(key)
+            c["env_states"] = self.envs.masked_reset(
+                c["env_states"], reset_choose, k_reset)
+            fresh_obs, fresh_share, fresh_avail, _, _, _ = \
+                self.envs.observe(c["env_states"])
+            if not cfg.use_centralized_V:
+                fresh_share = fresh_obs
+        else:
+            fresh_obs, fresh_share, fresh_avail = io_callback(
+                self._env_reset_cb, reset_shapes, reset_choose, ordered=True)
         rc1 = reset_choose[:, None]
         c["use_obs"] = jnp.where(rc1, fresh_obs, c["use_obs"])
         c["use_share"] = jnp.where(rc1, fresh_share, c["use_share"])

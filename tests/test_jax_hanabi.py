@@ -159,6 +159,39 @@ def test_noop_and_illegal_are_ignored():
     assert float(r3) == 0.0 and int(st3.cur_player) == int(st.cur_player)
 
 
+def test_fleet_dims_match_cpp_env():
+    """JaxHanabiFleet advertises the same spaces as the C++-backed env."""
+    from onpolicy_tpu.envs.hanabi.hanabi_env import HanabiVecEnv
+    from onpolicy_tpu.envs.hanabi.jax_fleet import JaxHanabiFleet
+    for name in ("Hanabi-Small", "Hanabi-Full"):
+        cpp = HanabiVecEnv(name, 2, 2, seed=0)
+        fl = JaxHanabiFleet(name, 2, 2, seed=0)
+        assert fl.obs_dim == cpp.obs_dim
+        assert fl.share_dim == cpp.share_dim
+        assert fl.n_moves == cpp.n_moves
+        cpp.close()
+
+
+def test_zero_callback_training_runs():
+    """use_jax_env + use_scan_rounds: the whole episode (env stepping
+    included) is one XLA program with no host callbacks; training
+    produces finite losses and true-step accounting."""
+    from onpolicy_tpu.config import config_from_args
+    from onpolicy_tpu.runner.hanabi_runner import HanabiRunner
+    cfg = config_from_args([
+        "--algorithm_name", "mappo", "--env_name", "Hanabi",
+        "--scenario_name", "Hanabi-Small", "--num_agents", "2",
+        "--n_rollout_threads", "8", "--episode_length", "8",
+        "--num_env_steps", "256", "--ppo_epoch", "2",
+        "--hidden_size", "32", "--use_recurrent_policy", "false",
+        "--use_scan_rounds", "--use_jax_env", "--log_interval", "1"])
+    runner = HanabiRunner(cfg)
+    ts, hist = runner.run(jax.random.PRNGKey(0), log_fn=None)
+    rows = [r for r in hist if "value_loss" in r]
+    assert rows and all(np.isfinite(r["value_loss"]) for r in rows)
+    assert rows[-1]["true_steps"] > 0
+
+
 def test_fleet_vmap_matches_single():
     game = je.JaxHanabiGame.make(**CONFIGS["Small-2p"])
     keys = jax.random.split(jax.random.PRNGKey(1), 4)
