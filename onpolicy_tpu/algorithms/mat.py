@@ -164,10 +164,17 @@ class MAT:
             buf.advantages,
             buf.active_masks[:-1] if cfg.use_policy_active_masks else None)
 
-        def epoch_fn(st, ekey):
-            mbs = buf_lib.transformer_minibatches(buf, adv, ekey,
+        if cfg.num_mini_batch == 1:
+            # permutation-free sampler output is epoch-invariant — build
+            # once outside the epoch scan (same hoist as MAPPO.train)
+            mbs = buf_lib.transformer_minibatches(buf, adv, key,
                                                   cfg.num_mini_batch)
-            return jax.lax.scan(self._update, st, mbs)
+            epoch_fn = lambda st, ekey: jax.lax.scan(self._update, st, mbs)
+        else:
+            def epoch_fn(st, ekey):
+                mbs = buf_lib.transformer_minibatches(buf, adv, ekey,
+                                                      cfg.num_mini_batch)
+                return jax.lax.scan(self._update, st, mbs)
 
         keys = jax.random.split(key, cfg.ppo_epoch)
         state, metrics = jax.lax.scan(epoch_fn, state, keys)
