@@ -448,6 +448,17 @@ class HanabiRunner:
         }
         bufnp = self._alloc_buffer()
         train_state = self.algo.init_state(jax.random.fold_in(key, 0))
+        # resume (weights + opt + normalizer + RNG + episode counter) —
+        # the shared/separated runners' model_dir semantics
+        start_episode = 0
+        if cfg.model_dir:
+            restored, step, rkey = ckpt_lib.restore(cfg.model_dir,
+                                                    train_state)
+            train_state = jax.tree_util.tree_map(jnp.asarray, restored)
+            if step:
+                start_episode = int(step) + 1
+            if rkey is not None:
+                key = rkey
         scores = []
         history = []
         metrics = {}
@@ -466,8 +477,8 @@ class HanabiRunner:
                 lambda ts, c, b, k: self._device_episode(ts, c, b, k, False))
             ep_train = jax.jit(
                 lambda ts, c, b, k: self._device_episode(ts, c, b, k, True))
-            for episode in range(self.episodes):
-                fn = ep_first if episode == 0 else ep_train
+            for episode in range(start_episode, self.episodes):
+                fn = ep_first if episode == start_episode else ep_train
                 train_state, carry, dbuf, key, m = fn(
                     train_state, carry, dbuf, key)
                 if save_dir and (episode % max(cfg.save_interval, 1) == 0
@@ -505,7 +516,7 @@ class HanabiRunner:
                         jax.device_get(m["_true_delta"]))
             return train_state, history
 
-        for episode in range(self.episodes):
+        for episode in range(start_episode, self.episodes):
             ep_scores = []
             if device:
                 ep_score_sum, ep_score_n = 0.0, 0
@@ -530,7 +541,7 @@ class HanabiRunner:
                     ep_scores.extend(sc)
 
                 # ---- deferred train (:52-67) -------------------------
-                if step == 0 and episode > 0:
+                if step == 0 and episode > start_episode:
                     bufnp["share_obs"][-1] = turn["share_obs"]
                     bufnp["obs"][-1] = turn["obs"]
                     bufnp["available_actions"][-1] = turn["avail"]

@@ -192,6 +192,29 @@ def test_zero_callback_training_runs():
     assert rows[-1]["true_steps"] > 0
 
 
+def test_hanabi_resume_continues(tmp_path):
+    """model_dir resume in HanabiRunner: weights/opt/normalizer/key are
+    restored and the episode counter continues past the checkpoint."""
+    from onpolicy_tpu.config import config_from_args
+    from onpolicy_tpu.runner.hanabi_runner import HanabiRunner
+    d = str(tmp_path)
+    args = ["--algorithm_name", "mappo", "--env_name", "Hanabi",
+            "--scenario_name", "Hanabi-Small", "--num_agents", "2",
+            "--n_rollout_threads", "8", "--episode_length", "8",
+            "--ppo_epoch", "2", "--hidden_size", "32",
+            "--use_recurrent_policy", "false",
+            "--use_scan_rounds", "--use_jax_env", "--log_interval", "1"]
+    r1 = HanabiRunner(config_from_args(args + ["--num_env_steps", "256"]))
+    r1.run(jax.random.PRNGKey(0), log_fn=None, save_dir=d)
+    r2 = HanabiRunner(config_from_args(
+        args + ["--num_env_steps", "384", "--model_dir", d]))
+    _, hist2 = r2.run(jax.random.PRNGKey(0), log_fn=None)
+    eps = [h["episode"] for h in hist2]
+    assert eps and min(eps) >= 4, eps
+    assert all(np.isfinite(h["value_loss"]) for h in hist2
+               if "value_loss" in h)
+
+
 def test_fleet_vmap_matches_single():
     game = je.JaxHanabiGame.make(**CONFIGS["Small-2p"])
     keys = jax.random.split(jax.random.PRNGKey(1), 4)
