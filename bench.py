@@ -129,6 +129,10 @@ def bench(n_envs: int = 16384, episode_length: int = 25,
         out["flops_per_episode"] = round(flops_per_episode / 1e9, 2)
         out["flops_unit"] = "GFLOP"
         out["achieved_tflops"] = round(tflops, 4)
+        # v5e peak ≈ 197 TFLOP/s bf16 — the model is tiny (hidden 64)
+        # so the program is kernel-overhead/HBM-bound, not MXU-bound;
+        # reported for self-auditing (VERDICT r1 item 10)
+        out["mfu_vs_bf16_peak"] = round(tflops / 197.0, 6)
     return out
 
 
