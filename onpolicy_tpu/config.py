@@ -149,9 +149,6 @@ class Config:
 
     # ---- TPU-native additions (no reference analogue) ----
     mesh_shape: Tuple[int, ...] = (1,)   # devices along the 'data' axis
-    compute_dtype: str = "float32"       # network compute dtype
-    param_dtype: str = "float32"
-    env_device: str = "auto"             # 'device' (pure-JAX env) | 'host'
     profile_dir: Optional[str] = None    # jax.profiler trace destination
     episodes_per_call: int = 1           # chain E episodes per device call
                                          # (amortizes dispatch latency)
