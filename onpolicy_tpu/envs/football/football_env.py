@@ -67,16 +67,32 @@ class FootballEnv:
         if self.share_reward:
             reward = np.full_like(reward, reward.sum())
         dones = np.full(self.num_agents, bool(done))
-        raw = self.env.unwrapped.observation()
-        info = dict(info)
-        info["max_steps"] = self.max_steps
-        info["active"] = [r.get("active") for r in raw]
-        info["sticky_actions"] = [r.get("sticky_actions") for r in raw]
-        infos = [info] * self.num_agents
+        infos = [self._enrich_info(info)] * self.num_agents
         return obs, reward, dones, infos
 
+    def _enrich_info(self, info):
+        """Reference `_info_wrapper` (Football_Env.py:108-115): merge the
+        raw player-0 observation dict, then max_steps and per-player
+        active/designated/sticky_actions arrays."""
+        raw = self.env.unwrapped.observation()
+        info = dict(info)
+        info.update(raw[0])
+        info["max_steps"] = self.max_steps
+        info["active"] = np.array(
+            [raw[i]["active"] for i in range(self.num_agents)])
+        info["designated"] = np.array(
+            [raw[i]["designated"] for i in range(self.num_agents)])
+        info["sticky_actions"] = np.stack(
+            [raw[i]["sticky_actions"] for i in range(self.num_agents)])
+        return info
+
     def seed(self, seed=None):
-        self.env.seed(seed)
+        # reference seeds the global python RNG (Football_Env.py:93-97,
+        # seed None → 1); gfootball also exposes env.seed — call both
+        import random
+        random.seed(1 if seed is None else seed)
+        if hasattr(self.env, "seed"):
+            self.env.seed(seed)
 
     def render(self, mode="rgb_array"):
         return self.env.render(mode)

@@ -184,12 +184,21 @@ class SMACEnv:
         smac consumes the seed at (re)launch, so stash it for the next
         restart AND push it into the live engine's RNG state."""
         self._seed = seed
+        hooked = False
         if hasattr(self.env, "_seed"):
             self.env._seed = seed
+            hooked = True
         rng = getattr(self.env, "np_random", None) or getattr(
             getattr(self.env, "_env", None), "np_random", None)
         if rng is not None and hasattr(rng, "seed"):
             rng.seed(seed)
+            hooked = True
+        if not hooked:
+            import warnings
+            warnings.warn(
+                "smac engine exposes neither _seed nor np_random; the new "
+                "seed only takes effect at the next engine restart "
+                "(construction seed stays live until then)", RuntimeWarning)
 
     def close(self):
         self.env.close()

@@ -450,12 +450,15 @@ def snapshot_from_smac(env) -> Snapshot:
         last_actions=np.asarray(env.last_action, np.float32),
         episode_steps=getattr(env, "_episode_steps", 0),
     )
+    # unit_max_shield returns None for shieldless (non-Protoss) units
+    # (`StarCraft2_Env.py:906-913` has no fallthrough return)
+    max_shield = lambda u: env.unit_max_shield(u) or 0.0
     for i in range(M):
         u = env.get_unit_by_id(i)
         s.ally_x[i], s.ally_y[i] = u.pos.x, u.pos.y
         s.ally_health[i], s.ally_health_max[i] = u.health, u.health_max
         s.ally_shield[i] = u.shield
-        s.ally_shield_max[i] = env.unit_max_shield(u)
+        s.ally_shield_max[i] = max_shield(u)
         if env.unit_type_bits > 0:
             s.ally_type[i] = env.get_unit_type_id(u, True)
         is_medivac = (env.map_type == "MMM"
@@ -466,7 +469,7 @@ def snapshot_from_smac(env) -> Snapshot:
         s.enemy_x[e], s.enemy_y[e] = u.pos.x, u.pos.y
         s.enemy_health[e], s.enemy_health_max[e] = u.health, u.health_max
         s.enemy_shield[e] = u.shield
-        s.enemy_shield_max[e] = env.unit_max_shield(u)
+        s.enemy_shield_max[e] = max_shield(u)
         if env.unit_type_bits > 0:
             s.enemy_type[e] = env.get_unit_type_id(u, False)
     return s

@@ -99,14 +99,3 @@ def shard_train_inputs_multihost(mesh, train_state, carry, global_batch: int):
     train_state = replicate_global(mesh, train_state)
     carry = host_to_global_batch(mesh, carry, global_batch)
     return train_state, carry
-
-
-def local_batch_slice(global_batch: int) -> slice:
-    """The half-open [start, stop) range of the global env batch this
-    process owns (contiguous block partitioning)."""
-    n = jax.process_count()
-    i = jax.process_index()
-    per = global_batch // n
-    assert global_batch % n == 0, (
-        f"global batch {global_batch} not divisible by {n} processes")
-    return slice(i * per, (i + 1) * per)

@@ -499,9 +499,13 @@ class HanabiRunner:
                     avg = float(m.pop("_score_sum")) / max(sn, 1)
                     metrics.update({k: float(v) for k, v in m.items()})
                     steps_total = (episode + 1) * T * self.N
+                    # fps counts only THIS process's work — after a
+                    # model_dir resume the pre-resume episodes are not
+                    # charged against the post-resume wall clock
+                    steps_here = (episode - start_episode + 1) * T * self.N
                     row = {"episode": episode, "steps": steps_total,
                            "true_steps": self.true_total_num_steps,
-                           "fps": steps_total
+                           "fps": steps_here
                            / (time.perf_counter() - start),
                            "average_score": avg, **metrics}
                     history.append(row)
@@ -594,9 +598,10 @@ class HanabiRunner:
             if (episode % cfg.log_interval == 0 and episode > 0) \
                     or episode == self.episodes - 1:
                 steps_total = (episode + 1) * T * self.N
+                steps_here = (episode - start_episode + 1) * T * self.N
                 row = {"episode": episode, "steps": steps_total,
                        "true_steps": self.true_total_num_steps,
-                       "fps": steps_total / (time.perf_counter() - start),
+                       "fps": steps_here / (time.perf_counter() - start),
                        "average_score": (ep_avg if device else
                                          float(np.mean(ep_scores))
                                          if ep_scores else 0.0), **metrics}
