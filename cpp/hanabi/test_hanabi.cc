@@ -143,6 +143,84 @@ static void TestBatch() {
   std::printf("batch ok\n");
 }
 
+// Golden deck replay: a fixed-seed Hanabi-Full game driven by a
+// deterministic rotating-scan policy; every step's canonical encodings
+// (both players), own-hand encodings, legal-move masks, current player
+// and score feed an FNV-1a hash. The expected constants are pinned from
+// the engine state that is bit-exact vs the reference HLE
+// (tests/test_hanabi_golden.py) — so `make test` alone now catches any
+// engine/encoder regression (round-2 VERDICT item 9).
+static const int GOLDEN_MOVES = 69;
+static const int GOLDEN_SCORE = 24;
+static const uint64_t GOLDEN_HASH = 2533108353571847514ull;
+
+static uint64_t Fnv1a(uint64_t h, const uint8_t* p, size_t n) {
+  for (size_t i = 0; i < n; ++i) {
+    h ^= p[i];
+    h *= 1099511628211ull;
+  }
+  return h;
+}
+
+static void TestGoldenReplay() {
+  Game g(FullCfg());
+  State st(&g, 2024);
+  std::vector<float> obs(g.ObsDim()), own(g.OwnHandDim()),
+      avail(g.MaxMoves());
+  uint64_t h = 1469598103934665603ull;
+  int moves = 0;
+  while (!st.Terminal() && moves < 300) {
+    for (int p = 0; p < 2; ++p) {
+      st.Encode(p, obs.data());
+      for (float v : obs) { uint8_t b = v != 0.0f; h = Fnv1a(h, &b, 1); }
+      st.EncodeOwnHand(p, own.data());
+      for (float v : own) { uint8_t b = v != 0.0f; h = Fnv1a(h, &b, 1); }
+      st.LegalMovesMask(p, avail.data());
+      for (float v : avail) { uint8_t b = v != 0.0f; h = Fnv1a(h, &b, 1); }
+    }
+    uint8_t meta[2] = {static_cast<uint8_t>(st.CurPlayer()),
+                       static_cast<uint8_t>(st.Score())};
+    h = Fnv1a(h, meta, 2);
+    // deterministic mixed policy — hint-heavy with periodic rotating
+    // plays/discards, so the game runs deep into the deck and the hash
+    // covers many knowledge/discard/firework encoding states
+    int chosen = -1;
+    // oracle play: the test may peek — play a card that will score
+    const auto& hand = st.Hand(st.CurPlayer());
+    for (size_t s = 0; s < hand.size() && chosen < 0; ++s)
+      if (hand[s].rank == st.Fireworks(hand[s].color) &&
+          st.Legal(5 + static_cast<int>(s)))
+        chosen = 5 + static_cast<int>(s);
+    if (chosen < 0 && moves % 2 == 0)  // rotating discard half the time
+      for (int k = 0; k < 5; ++k) {
+        int uid = (moves + k) % 5;
+        if (st.Legal(uid)) { chosen = uid; break; }
+      }
+    if (chosen < 0)  // rotating hint while tokens last
+      for (int k = 0; k < g.MaxMoves() - 10; ++k) {
+        int uid = 10 + (moves + k) % (g.MaxMoves() - 10);
+        if (st.Legal(uid)) { chosen = uid; break; }
+      }
+    if (chosen < 0)  // tokens full + no hint possible: rotating discard
+      for (int k = 0; k < 5; ++k) {
+        int uid = (moves + k) % 5;
+        if (st.Legal(uid)) { chosen = uid; break; }
+      }
+    if (chosen < 0)
+      for (int uid = 0; uid < g.MaxMoves(); ++uid)
+        if (st.Legal(uid)) { chosen = uid; break; }
+    assert(chosen >= 0);
+    st.Apply(chosen);
+    ++moves;
+  }
+  std::printf("golden replay: %d moves, score %d, hash %llu\n", moves,
+              st.Score(), static_cast<unsigned long long>(h));
+  assert(st.Terminal());
+  assert(moves == GOLDEN_MOVES);
+  assert(st.Score() == GOLDEN_SCORE);
+  assert(h == GOLDEN_HASH);
+}
+
 int main() {
   TestDims();
   TestInitialState();
@@ -150,6 +228,7 @@ int main() {
   TestGameCompletes();
   TestEncodingInvariants();
   TestBatch();
+  TestGoldenReplay();
   std::printf("ALL C++ TESTS PASSED\n");
   return 0;
 }

@@ -237,7 +237,34 @@ def _parse_ints(s):
     return tuple(int(x) for x in s.split(","))
 
 
+def apply_wandb_sweep(cfg: Config) -> Config:
+    """wandb sweep parity (`/root/reference/onpolicy/scripts/train/
+    train_smac.py:186` rebinds `all_args = wandb.config`): when
+    use_wandb is on and a wandb run is already active (a sweep agent
+    launched us) — or WANDB_SWEEP_ID asks for an early init — the run's
+    config values override the parsed flags. Unknown keys raise,
+    matching the strict parser."""
+    if not cfg.use_wandb:
+        return cfg
+    try:
+        import wandb
+    except ImportError:
+        return cfg
+    import os
+    run = getattr(wandb, "run", None)
+    if run is None and os.environ.get("WANDB_SWEEP_ID"):
+        run = wandb.init()
+    if run is None or getattr(run, "config", None) is None:
+        return cfg
+    updates = {}
+    for k, v in dict(run.config).items():
+        if k not in Config.__dataclass_fields__:
+            raise ValueError(f"unknown wandb sweep parameter: {k}")
+        updates[k] = v
+    return cfg.replace(**updates) if updates else cfg
+
+
 def config_from_args(argv=None, **overrides) -> Config:
     ns = get_config().parse_args(argv)
     cfg = Config(**vars(ns)).replace(**overrides)
-    return canonicalize_algorithm(cfg).validate()
+    return canonicalize_algorithm(apply_wandb_sweep(cfg)).validate()

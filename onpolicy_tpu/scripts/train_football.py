@@ -11,7 +11,8 @@ import sys
 
 import jax
 
-from onpolicy_tpu.config import get_config, Config, canonicalize_algorithm
+from onpolicy_tpu.config import (get_config, Config,
+                                 canonicalize_algorithm, apply_wandb_sweep)
 from onpolicy_tpu.envs.host_vec import DummyVecEnv, HostVecEnv
 from onpolicy_tpu.runner.host_runner import HostSharedRunner
 from onpolicy_tpu.utils.run_dir import make_run_dir, MetricsLogger
@@ -42,7 +43,8 @@ def main(argv=None):
     overrides = {k: v for k, v in vars(ns).items()
                  if k in Config.__dataclass_fields__}
     overrides["env_name"] = "Football"
-    cfg = canonicalize_algorithm(Config(**overrides)).validate()
+    cfg = canonicalize_algorithm(
+        apply_wandb_sweep(Config(**overrides))).validate()
 
     from onpolicy_tpu.envs.football.football_env import (FootballEnv,
                                                          football_metrics)

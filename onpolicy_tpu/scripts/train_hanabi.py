@@ -10,7 +10,8 @@ import sys
 
 import jax
 
-from onpolicy_tpu.config import get_config, Config, canonicalize_algorithm
+from onpolicy_tpu.config import (get_config, Config,
+                                 canonicalize_algorithm, apply_wandb_sweep)
 from onpolicy_tpu.runner.hanabi_runner import HanabiRunner
 from onpolicy_tpu.utils.run_dir import make_run_dir, MetricsLogger
 
@@ -27,7 +28,8 @@ def main(argv=None):
                  if k in Config.__dataclass_fields__}
     overrides["env_name"] = "Hanabi"
     overrides["scenario_name"] = ns.hanabi_name
-    cfg = canonicalize_algorithm(Config(**overrides)).validate()
+    cfg = canonicalize_algorithm(
+        apply_wandb_sweep(Config(**overrides))).validate()
 
     eval_env = None
     if cfg.use_eval:

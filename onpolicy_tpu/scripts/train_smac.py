@@ -17,7 +17,8 @@ from types import SimpleNamespace
 
 import jax
 
-from onpolicy_tpu.config import get_config, Config, canonicalize_algorithm
+from onpolicy_tpu.config import (get_config, Config,
+                                 canonicalize_algorithm, apply_wandb_sweep)
 from onpolicy_tpu.envs.host_vec import DummyVecEnv, HostVecEnv
 from onpolicy_tpu.envs.starcraft2.smac_maps import get_map_params
 from onpolicy_tpu.runner.host_runner import HostSharedRunner
@@ -112,7 +113,8 @@ def main(argv=None):
     else:
         overrides["num_agents"] = int(ns.units.split("v")[0])
     overrides["scenario_name"] = ns.map_name
-    cfg = canonicalize_algorithm(Config(**overrides)).validate()
+    cfg = canonicalize_algorithm(
+        apply_wandb_sweep(Config(**overrides))).validate()
 
     env_fns = make_env_fns(ns, cfg, cfg.n_rollout_threads, cfg.seed)
     Pool = DummyVecEnv if cfg.n_rollout_threads == 1 else HostVecEnv

@@ -39,7 +39,9 @@ class MetricsLogger:
         if getattr(cfg, "use_wandb", False):
             try:
                 import wandb
-                self.wandb = wandb.init(
+                # a sweep agent may have initialized the run already
+                # (apply_wandb_sweep) — reuse it instead of re-init
+                self.wandb = getattr(wandb, "run", None) or wandb.init(
                     project=cfg.env_name, name=f"{cfg.algorithm_name}_"
                     f"{cfg.experiment_name}_seed{cfg.seed}",
                     dir=str(self.run_dir), config=vars(cfg))
