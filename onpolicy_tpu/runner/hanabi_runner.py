@@ -420,18 +420,12 @@ class HanabiRunner:
         return train_state, carry, dbuf, key, metrics
 
     # ------------------------------------------------------------------
-    def run(self, key=None, log_fn=print, save_dir=None):
-        cfg = self.cfg
-        N, M, T = self.N, self.num_agents, cfg.episode_length
-        L, H = cfg.recurrent_N, cfg.hidden_size
-        key = key if key is not None else jax.random.PRNGKey(cfg.seed)
-
-        obs, share_obs, avail, cur = self.envs.reset()
-        if not cfg.use_centralized_V:
-            share_obs = obs
+    def _fresh_staging(self, obs, share_obs, avail):
+        """(use, turn) numpy staging dicts for a fresh fleet state."""
+        N, M = self.N, self.num_agents
+        L, H = self.cfg.recurrent_N, self.cfg.hidden_size
         use = {"obs": obs.copy(), "share": share_obs.copy(),
                "avail": avail.copy()}
-
         turn = {
             "obs": np.zeros((N, M, obs.shape[-1]), np.float32),
             "share_obs": np.zeros((N, M, share_obs.shape[-1]), np.float32),
@@ -446,6 +440,34 @@ class HanabiRunner:
             "rewards": np.zeros((N, M, 1), np.float32),
             "accum": np.zeros((N, M, 1), np.float32),
         }
+        return use, turn
+
+    def init_device(self, key):
+        """(train_state, carry, dbuf) for the scan-of-rounds episode
+        program — the device-resident state triple `_device_episode`
+        consumes (used by __graft_entry__.dryrun_multichip and tests to
+        drive the flagship program directly)."""
+        obs, share_obs, avail, cur = self.envs.reset()
+        if not self.cfg.use_centralized_V:
+            share_obs = obs
+        use, turn = self._fresh_staging(obs, share_obs, avail)
+        train_state = self.algo.init_state(jax.random.fold_in(key, 0))
+        carry = self._init_device_carry(use["obs"], use["share"],
+                                        use["avail"], turn)
+        dbuf = {k: jnp.asarray(v) for k, v in self._alloc_buffer().items()}
+        return train_state, carry, dbuf
+
+    # ------------------------------------------------------------------
+    def run(self, key=None, log_fn=print, save_dir=None):
+        cfg = self.cfg
+        N, M, T = self.N, self.num_agents, cfg.episode_length
+        L, H = cfg.recurrent_N, cfg.hidden_size
+        key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+
+        obs, share_obs, avail, cur = self.envs.reset()
+        if not cfg.use_centralized_V:
+            share_obs = obs
+        use, turn = self._fresh_staging(obs, share_obs, avail)
         bufnp = self._alloc_buffer()
         train_state = self.algo.init_state(jax.random.fold_in(key, 0))
         # resume (weights + opt + normalizer + RNG + episode counter) —
