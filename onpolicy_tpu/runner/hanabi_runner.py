@@ -636,6 +636,61 @@ class HanabiRunner:
         return train_state, history
 
     # ------------------------------------------------------------------
+    def evaluate_device(self, train_state, n_games: int, key=None,
+                        max_steps: Optional[int] = None) -> float:
+        """Device-resident `eval_100k` (hanabi_runner_forward.py:281-329):
+        generations of N one-shot deterministic games play entirely on
+        device — one jitted lax.scan over seat steps per generation,
+        finished games no-op (action −1) until the scan ends. The step
+        bound is derived from the game config: every play/discard draws
+        from the deck, hint streaks are bounded by info tokens, and the
+        engine ends the game one full round after the deck empties, so
+        2·deck + max_info + players + 8 covers any legal game."""
+        cfg = self.cfg
+        env = self.envs
+        if not hasattr(env, "pure_step"):
+            raise ValueError("evaluate_device requires --use_jax_env "
+                             "(pure-JAX fleet)")
+        N = env.n_envs
+        g = env.game
+        if max_steps is None:
+            max_steps = 2 * g.deck_len + g.max_info + g.players + 8
+        key = key if key is not None else jax.random.PRNGKey(cfg.seed + 5)
+        L, H = cfg.recurrent_N, cfg.hidden_size
+
+        def generation(ts, k):
+            k_reset, k_act = jax.random.split(k)
+            states = env.reset_states(k_reset)
+            obs, _, avail, _, _, _ = env.observe(states)
+            rnn = jnp.zeros((N, L, H), jnp.float32)
+            masks = jnp.ones((N, 1), jnp.float32)
+
+            def body(carry, kk):
+                states, obs, avail, rnn = carry
+                choose = jnp.any(avail == 1, axis=1)
+                actions, rnn_out = self.algo.act(
+                    ts, obs, rnn, masks, kk, avail, deterministic=True)
+                env_actions = jnp.where(
+                    choose, actions[:, 0].astype(jnp.int32), -1)
+                states, obs, _, _, done, avail, _ = env.pure_step(
+                    states, env_actions)
+                rnn = jnp.where(done[:, None, None], 0.0, rnn_out)
+                return (states, obs, avail, rnn), None
+
+            keys = jax.random.split(k_act, max_steps)
+            (states, _, _, _), _ = jax.lax.scan(
+                body, (states, obs, avail, rnn), keys)
+            _, _, _, _, done, scr = env.observe(states)
+            return scr, done
+
+        gen_jit = jax.jit(generation)
+        scores: list = []
+        while len(scores) < n_games:
+            key, k = jax.random.split(key)
+            scr, done = jax.device_get(gen_jit(train_state, k))
+            scores.extend(scr[done].tolist())   # done is all-True by bound
+        return float(np.mean(np.asarray(scores[:n_games], np.float64)))
+
     def evaluate(self, train_state, n_games: int, key=None,
                  env: Optional[HanabiVecEnv] = None):
         """Deterministic evaluation until `n_games` finish; returns mean

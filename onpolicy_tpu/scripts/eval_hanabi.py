@@ -36,7 +36,13 @@ def main(argv=None):
     state = runner.algo.init_state(jax.random.PRNGKey(cfg.seed))
     if cfg.model_dir:
         state, _, _ = ckpt.restore(cfg.model_dir, state)
-    score = runner.evaluate(state, ns.eval_games)
+    if cfg.use_jax_env:
+        # device-resident 100k eval: generations of N vmapped one-shot
+        # games, one jitted scan each — makes the reference's eval_100k
+        # cheap enough to actually run (round-2 VERDICT item 3)
+        score = runner.evaluate_device(state, ns.eval_games)
+    else:
+        score = runner.evaluate(state, ns.eval_games)
     print(f"eval_average_score over {ns.eval_games} games: {score:.3f}")
     return score
 
