@@ -11,8 +11,10 @@ Parity targets both reference wrappers:
 
 The reference's vendored engine adds `get_state_agent` to SMACv2; the
 public smacv2 package has no such method, so the AS state is built by
-`state_builder.agent_specific_state` from a unit snapshot (the same
-faithful re-derivation used for SMAC v1). Info dict carries
+`v2_builders.agent_state` from a unit snapshot (executed-reference
+goldens in tests/test_smacv2_reference_golden.py — the v2 layout
+differs from v1: enemy visible flag, capability blocks, own-pos,
+[ally|enemy|move|own|id] order). Info dict carries
 battles_won/battles_game/battles_draw/restarts/won and bad_transition
 on episode-limit truncation (`SMACv2_modified.py:45-52`).
 
@@ -51,10 +53,10 @@ class SMACv2Env:
         self.per_agent_dones = per_agent_dones
         obs_dim = info["obs_shape"]
         state_dim = info["state_shape"]
-        from onpolicy_tpu.envs.starcraft2 import state_builder as sb
+        from onpolicy_tpu.envs.starcraft2 import v2_builders as sb
         self._state_options = dict(state_options or {})
         self._sb_cfg = dataclasses.replace(
-            sb.config_from_smac(self.env.env), **self._state_options)
+            sb.config_from_smacv2(self.env.env), **self._state_options)
         if state_type == "concat":
             share_dim = obs_dim * M
         elif state_type == "agent":
@@ -72,8 +74,8 @@ class SMACv2Env:
         if self.state_type == "concat":
             return np.tile(np.concatenate(obs, -1), (M, 1)).astype(np.float32)
         if self.state_type == "agent_feature":
-            from onpolicy_tpu.envs.starcraft2 import state_builder as sb
-            snap = sb.snapshot_from_smac(self.env.env)
+            from onpolicy_tpu.envs.starcraft2 import v2_builders as sb
+            snap = sb.snapshot_from_smacv2(self.env.env)
             return sb.all_agent_states(self._sb_cfg, snap)
         state = np.asarray(self.env.get_state(), np.float32)
         if self.state_type == "agent":
@@ -87,11 +89,11 @@ class SMACv2Env:
         return obs, self._share_obs(obs), avail
 
     def reset(self):
-        from onpolicy_tpu.envs.starcraft2 import state_builder as sb
+        from onpolicy_tpu.envs.starcraft2 import v2_builders as sb
         self.env.reset()
         # engine geometry (map_x/max_distance_*) exists only after launch
         self._sb_cfg = dataclasses.replace(
-            sb.config_from_smac(self.env.env), **self._state_options)
+            sb.config_from_smacv2(self.env.env), **self._state_options)
         return self._gather()
 
     def step(self, actions):

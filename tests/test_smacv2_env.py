@@ -23,6 +23,11 @@ class _FakeInner:
         self.shield_bits_ally = self.shield_bits_enemy = 0
         self.obs_all_health = self.obs_own_health = True
         self.state_last_action = True
+        # v2-engine flags read by v2_builders.config_from_smacv2
+        self.obs_last_action = False
+        self.obs_timestep_number = False
+        self.state_timestep_number = False
+        self.obs_own_pos = True
         self.episode_limit = 5
         self.battles_won, self.battles_game = 1, 2
         self.timeouts, self.force_restarts = 3, 4
@@ -105,7 +110,7 @@ def test_modified_semantics(smacv2_env):
     env = smacv2_env("10gen_protoss", {}, state_type="agent_feature",
                      per_agent_dones=True)
     obs, share, avail = env.reset()
-    from onpolicy_tpu.envs.starcraft2 import state_builder as sb
+    from onpolicy_tpu.envs.starcraft2 import v2_builders as sb
     assert share.shape == (3, sb.state_dim(env._sb_cfg))
     assert env.share_observation_space[0].shape == (share.shape[1],)
     obs, share, rew, dones, infos, avail = env.step(np.zeros((3, 1)))
