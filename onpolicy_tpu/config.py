@@ -63,10 +63,12 @@ class Config:
     recurrent_N: int = 1
     data_chunk_length: int = 10
     # Fused Pallas TPU kernel for the sequence-mode GRU (training path).
-    # Off by default; numerically equivalent to the lax.scan path
+    # None = auto: ON when running on TPU with hidden_size >= 256 (the
+    # regime where the fused backward measures 1.24-1.25x, RESULTS.md);
+    # numerically equivalent to the lax.scan path
     # (tests/test_pallas_gru.py). No reference analogue (the reference
     # relies on cuDNN, rnn.py:30-77).
-    use_pallas_gru: bool = False
+    use_pallas_gru: Optional[bool] = None
     # Hanabi: run the whole seat round as ONE jitted device program with
     # the C++ engine stepped through ordered io_callbacks (1 dispatch per
     # round instead of one per seat; staging math on device). Equivalent
@@ -199,7 +201,8 @@ def canonicalize_algorithm(cfg: Config) -> Config:
 
 
 _BOOL_FIELDS = {
-    f.name for f in dataclasses.fields(Config) if f.type in ("bool", bool)
+    f.name for f in dataclasses.fields(Config)
+    if f.type in ("bool", bool, "Optional[bool]")
 }
 
 
