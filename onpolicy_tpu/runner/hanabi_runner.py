@@ -481,6 +481,10 @@ class HanabiRunner:
                 start_episode = int(step) + 1
             if rkey is not None:
                 key = rkey
+            meta = ckpt_lib.load_metadata(cfg.model_dir)
+            if meta:  # true-step accounting continues across resumes
+                self.true_total_num_steps = int(
+                    meta.get("true_total_num_steps", 0))
         scores = []
         history = []
         metrics = {}
@@ -503,20 +507,27 @@ class HanabiRunner:
                 fn = ep_first if episode == start_episode else ep_train
                 train_state, carry, dbuf, key, m = fn(
                     train_state, carry, dbuf, key)
+                do_log = (episode % cfg.log_interval == 0 and episode > 0) \
+                    or episode == self.episodes - 1
+                # exact true-step accounting every episode (checkpoint
+                # metadata must include the episode just finished)
+                self.true_total_num_steps += int(
+                    jax.device_get(m["_true_delta"]))
                 if save_dir and (episode % max(cfg.save_interval, 1) == 0
                                  or episode == self.episodes - 1):
                     ckpt_lib.save(save_dir, train_state, step=episode,
-                                  key=jax.device_get(key))
+                                  key=jax.device_get(key),
+                                  metadata={"true_total_num_steps":
+                                            self.true_total_num_steps})
                 if cfg.use_eval and self.eval_envs is not None \
                         and episode % cfg.eval_interval == 0:
                     key, k_ev = jax.random.split(jax.device_get(key))
                     metrics["eval_average_score"] = self.evaluate(
                         train_state, cfg.eval_episodes, key=k_ev,
                         env=self.eval_envs)
-                if (episode % cfg.log_interval == 0 and episode > 0) \
-                        or episode == self.episodes - 1:
+                if do_log:
                     m = jax.device_get(m)
-                    self.true_total_num_steps += int(m.pop("_true_delta"))
+                    m.pop("_true_delta")   # already accumulated above
                     sn = int(m.pop("_score_n"))
                     avg = float(m.pop("_score_sum")) / max(sn, 1)
                     metrics.update({k: float(v) for k, v in m.items()})
@@ -536,10 +547,6 @@ class HanabiRunner:
                               f"score {row['average_score']:.2f}")
                     elif log_fn is not None:
                         log_fn(row)
-                else:
-                    # keep true-step accounting exact between logs
-                    self.true_total_num_steps += int(
-                        jax.device_get(m["_true_delta"]))
             return train_state, history
 
         for episode in range(start_episode, self.episodes):
@@ -610,7 +617,9 @@ class HanabiRunner:
                 ep_avg = ep_score_sum / max(ep_score_n, 1)
             if save_dir and (episode % max(cfg.save_interval, 1) == 0
                              or episode == self.episodes - 1):
-                ckpt_lib.save(save_dir, train_state, step=episode, key=key)
+                ckpt_lib.save(save_dir, train_state, step=episode, key=key,
+                              metadata={"true_total_num_steps":
+                                        self.true_total_num_steps})
             if cfg.use_eval and self.eval_envs is not None \
                     and episode % cfg.eval_interval == 0:
                 key, k_ev = jax.random.split(key)

@@ -91,3 +91,17 @@ def restore_extra(ckpt_dir, template: Any) -> Optional[Any]:
         return None
     return serialization.from_bytes(jax.device_get(template),
                                     extra_path.read_bytes())
+
+
+def load_metadata(ckpt_dir) -> Optional[dict]:
+    """Metadata dict saved next to the latest checkpoint (None if the
+    checkpoint carries none)."""
+    path = Path(ckpt_dir)
+    if path.is_dir():
+        path = latest_path(path)
+        if path is None:
+            return None
+    meta_path = path.parent / (path.stem + ".meta.json")
+    if not meta_path.exists():
+        return None
+    return json.loads(meta_path.read_text())
