@@ -29,7 +29,7 @@ PID=""
 
 launch() {
   ATTEMPT=$((ATTEMPT+1))
-  MD=$(ls -d "$RUNROOT"/run*/models 2>/dev/null | while read -r d; do
+  MD=$(ls -dv "$RUNROOT"/run*/models 2>/dev/null | while read -r d; do
          [ -f "$d/latest.txt" ] && echo "$d"; done | tail -1)
   EXTRA=()
   [ -n "${MD:-}" ] && EXTRA=(--model_dir "$MD")
