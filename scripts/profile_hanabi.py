@@ -21,8 +21,11 @@ Usage: python scripts/profile_hanabi.py [n_envs] [--bf16] [--trace DIR]
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
