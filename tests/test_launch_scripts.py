@@ -17,7 +17,10 @@ import pytest
 
 from onpolicy_tpu.config import Config, canonicalize_algorithm, config_from_args
 
-SCRIPTS = sorted(glob.glob("scripts/**/*.sh", recursive=True))
+SCRIPTS = sorted(p for p in glob.glob("scripts/**/*.sh", recursive=True)
+                 # supervise_train.sh is the fault-tolerance wrapper,
+                 # not a train launcher with parseable flags
+                 if not p.endswith("supervise_train.sh"))
 
 
 def _extract(path):
