@@ -85,14 +85,12 @@ def sequence(cfg, params, xs: jax.Array, hxs: jax.Array, masks: jax.Array):
     hxs: [B, recurrent_N, H] initial state; masks: [T, B, 1].
     Returns (outs [T, B, H], final_hxs [B, recurrent_N, H]).
     """
-    use_pallas = getattr(cfg, "use_pallas_gru", None)
-    if use_pallas is None:
-        # auto: the fused kernel wins (1.24-1.25x grad step) at Hanabi-
-        # class widths; at H=64 both paths sit at the kernel floor, and
-        # on CPU the kernel only has interpreter mode (tests)
-        use_pallas = (cfg.hidden_size >= 256
-                      and jax.default_backend() == "tpu")
-    if use_pallas:
+    # STRICTLY OPT-IN (None == off): round-3 on-chip A/B found the
+    # kernel's compiled-mode forward diverges from the scan path at
+    # H=256 (maxdiff ~7.6; CPU interpreter parity holds) and VMEM-OOMs
+    # at some tile shapes — do not auto-enable until the compiled
+    # kernel passes an ON-CHIP parity gate (RESULTS.md round 3).
+    if getattr(cfg, "use_pallas_gru", None) is True:
         from onpolicy_tpu.ops import pallas_gru
         return pallas_gru.sequence(cfg, params, xs, hxs, masks)
 
