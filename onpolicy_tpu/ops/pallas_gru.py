@@ -109,7 +109,13 @@ def _fwd_kernel(gir_ref, giz_ref, gin_ref, m_ref, h0_ref,
 
 def _fwd_call(gir, giz, gin, h0, masks, wr, wz, wn, bhh):
     T, B, H = gir.shape
-    B_TILE = _b_tile(H, streams=5)    # 3 gi in + mask + hidden out
+    # SAME tile as `sequence`'s padding and `_bwd_call` — round-3 bug:
+    # the fwd previously picked a streams=5 tile that disagreed with
+    # the streams=9 padding tile at H=256 (1024 vs 512), making
+    # nb = B // B_TILE zero/truncated so the kernel never wrote (the
+    # compiled-mode divergence found in the on-chip A/B)
+    B_TILE = _b_tile(H)
+    assert B % B_TILE == 0, (B, B_TILE)
     nb = B // B_TILE
     t_spec = pl.BlockSpec((1, B_TILE, H), lambda b, t: (t, b, 0),
                           memory_space=pltpu.VMEM)
@@ -197,7 +203,8 @@ def _bwd_kernel(gir_ref, giz_ref, gin_ref, hp_ref, m_ref, do_ref, dhT_ref,
 
 def _bwd_call(gir, giz, gin, hprev, masks, douts, dhT, wr, wz, wn, bhh):
     T, B, H = gir.shape
-    B_TILE = _b_tile(H, streams=9)    # 6 seq in + 3 seq out
+    B_TILE = _b_tile(H)               # 6 seq in + 3 seq out
+    assert B % B_TILE == 0, (B, B_TILE)
     nb = B // B_TILE
     # reverse-time index maps: grid step t reads actual time T-1-t
     rt = pl.BlockSpec((1, B_TILE, H), lambda b, t: (T - 1 - t, b, 0),
