@@ -263,8 +263,26 @@ def apply_wandb_sweep(cfg: Config) -> Config:
     for k, v in dict(run.config).items():
         if k not in Config.__dataclass_fields__:
             raise ValueError(f"unknown wandb sweep parameter: {k}")
-        updates[k] = v
+        updates[k] = _coerce_sweep_value(k, v)
     return cfg.replace(**updates) if updates else cfg
+
+
+def _coerce_sweep_value(name, value):
+    """Sweep yaml values arrive as raw yaml/string types; route them
+    through the same coercers as the CLI parser so the frozen-config
+    invariants hold (real bools, hashable int tuples for mesh_shape) —
+    a string 'false' is truthy and a raw '4,2' breaks static hashing
+    downstream."""
+    if name in _BOOL_FIELDS:
+        return _parse_bool(value)
+    if name == "mesh_shape":
+        return _parse_ints(value) if isinstance(value, str) \
+            else tuple(int(x) for x in value)
+    default = Config.__dataclass_fields__[name].default
+    if default is not dataclasses.MISSING and default is not None \
+            and isinstance(value, str):
+        return type(default)(value)
+    return value
 
 
 def config_from_args(argv=None, **overrides) -> Config:

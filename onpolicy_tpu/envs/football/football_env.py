@@ -88,11 +88,14 @@ class FootballEnv:
 
     def seed(self, seed=None):
         # reference seeds the global python RNG (Football_Env.py:93-97,
-        # seed None → 1); gfootball also exposes env.seed — call both
+        # seed None → 1); gfootball also exposes env.seed — forward the
+        # RESOLVED value (None would reseed gfootball from entropy and
+        # lose the reference's deterministic default, ADVICE r3)
         import random
-        random.seed(1 if seed is None else seed)
+        resolved = 1 if seed is None else seed
+        random.seed(resolved)
         if hasattr(self.env, "seed"):
-            self.env.seed(seed)
+            self.env.seed(resolved)
 
     def render(self, mode="rgb_array"):
         return self.env.render(mode)

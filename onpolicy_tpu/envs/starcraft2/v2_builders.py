@@ -423,6 +423,16 @@ def all_agent_states(cfg: V2Config, snap: V2Snapshot) -> np.ndarray:
 # ---- live-engine adapters --------------------------------------------
 
 def config_from_smacv2(env) -> V2Config:
+    # fail loudly on engine features the builders do not model — with
+    # them enabled obs/state would silently diverge or dim-mismatch
+    # (ADVICE r3; state obs_last_action is rejected separately below)
+    unsupported = [f for f in ("conic_fov", "fully_observable",
+                               "obs_pathing_grid", "obs_terrain_height")
+                   if getattr(env, f, False)]
+    if unsupported:
+        raise ValueError(
+            f"v2_builders do not model engine feature(s) {unsupported}; "
+            "disable them or extend the builders")
     return V2Config(
         n_agents=env.n_agents, n_enemies=env.n_enemies,
         n_actions=env.n_actions, map_x=env.map_x, map_y=env.map_y,

@@ -43,13 +43,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _b_tile(H: int, streams: int = 9) -> int:
     """Batch-tile rows per grid program: as many rows as keep the
-    per-program double-buffered sequence streams + weights within a
-    ~12MB VMEM budget (16MB/core minus headroom), floor 256."""
+    per-program double-buffered sequence streams + weight-class blocks
+    within a ~12MB VMEM budget (16MB/core minus headroom), floor 128.
+
+    The weight term budgets the BACKWARD's worst case — hidden weights
+    in (3H²) + dW output accumulators (3H², VMEM-resident across the
+    whole grid via their constant index map) + biases — which is what
+    previously OOMed at H=512 with the 256-row floor (round-3 item:
+    256×9 streams + separate dW scratch ≈ 19.5M > 16M)."""
     budget = 12 * 1024 * 1024
-    weights = 3 * H * H * 4 + 8 * H * 4
+    weights = 6 * H * H * 4 + 16 * H * 4
     per_row = streams * max(H, 128) * 4 * 2     # double-buffered blocks
-    rows = max(256, (budget - weights) // per_row)
-    return min(1024, (rows // 256) * 256)
+    rows = max(128, (budget - weights) // per_row)
+    return min(1024, (rows // 128) * 128)
 
 
 def _interpret() -> bool:
@@ -148,16 +154,22 @@ def _bwd_kernel(gir_ref, giz_ref, gin_ref, hp_ref, m_ref, do_ref, dhT_ref,
                 wr_ref, wz_ref, wn_ref, bhh_ref,
                 dgir_ref, dgiz_ref, dgin_ref, dh0_ref,
                 dwr_ref, dwz_ref, dwn_ref, dbhh_ref,
-                dh_scr, dw_scr, db_scr):
+                dh_scr):
     b = pl.program_id(0)
     t = pl.program_id(1)
-    nb = pl.num_programs(0)
     nt = pl.num_programs(1)
 
+    # dW/db accumulate DIRECTLY into the output refs: their index maps
+    # are constant over the grid so the blocks stay VMEM-resident for
+    # the whole kernel and flush to HBM once at the end — same effect as
+    # a scratch accumulator but without a second 3H² VMEM copy (the
+    # H=512 OOM headroom).
     @pl.when(jnp.logical_and(b == 0, t == 0))
     def _():
-        dw_scr[:] = jnp.zeros_like(dw_scr)
-        db_scr[:] = jnp.zeros_like(db_scr)
+        dwr_ref[:] = jnp.zeros_like(dwr_ref)
+        dwz_ref[:] = jnp.zeros_like(dwz_ref)
+        dwn_ref[:] = jnp.zeros_like(dwn_ref)
+        dbhh_ref[:] = jnp.zeros_like(dbhh_ref)
 
     @pl.when(t == 0)
     def _():
@@ -182,23 +194,19 @@ def _bwd_kernel(gir_ref, giz_ref, gin_ref, hp_ref, m_ref, do_ref, dhT_ref,
     dgiz_ref[0] = dz_pre
     dgin_ref[0] = dn_pre
 
-    dw_scr[0] = dw_scr[0] + _dotT_lhs(hm, dr_pre)
-    dw_scr[1] = dw_scr[1] + _dotT_lhs(hm, dz_pre)
-    dw_scr[2] = dw_scr[2] + _dotT_lhs(hm, dghn)
-    db_scr[0:1, :] = db_scr[0:1, :] + jnp.sum(dr_pre, axis=0, keepdims=True)
-    db_scr[1:2, :] = db_scr[1:2, :] + jnp.sum(dz_pre, axis=0, keepdims=True)
-    db_scr[2:3, :] = db_scr[2:3, :] + jnp.sum(dghn, axis=0, keepdims=True)
+    dwr_ref[:] = dwr_ref[:] + _dotT_lhs(hm, dr_pre)
+    dwz_ref[:] = dwz_ref[:] + _dotT_lhs(hm, dz_pre)
+    dwn_ref[:] = dwn_ref[:] + _dotT_lhs(hm, dghn)
+    dbhh_ref[0:1, :] = dbhh_ref[0:1, :] + jnp.sum(dr_pre, axis=0,
+                                                  keepdims=True)
+    dbhh_ref[1:2, :] = dbhh_ref[1:2, :] + jnp.sum(dz_pre, axis=0,
+                                                  keepdims=True)
+    dbhh_ref[2:3, :] = dbhh_ref[2:3, :] + jnp.sum(dghn, axis=0,
+                                                  keepdims=True)
 
     @pl.when(t == nt - 1)
     def _():
         dh0_ref[:] = dh_scr[:]
-
-    @pl.when(jnp.logical_and(b == nb - 1, t == nt - 1))
-    def _():
-        dwr_ref[:] = dw_scr[0]
-        dwz_ref[:] = dw_scr[1]
-        dwn_ref[:] = dw_scr[2]
-        dbhh_ref[:] = db_scr[:]
 
 
 def _bwd_call(gir, giz, gin, hprev, masks, douts, dhT, wr, wz, wn, bhh):
@@ -230,9 +238,7 @@ def _bwd_call(gir, giz, gin, hprev, masks, douts, dhT, wr, wz, wn, bhh):
                    jax.ShapeDtypeStruct((H, H), jnp.float32),
                    jax.ShapeDtypeStruct((H, H), jnp.float32),
                    jax.ShapeDtypeStruct((3, H), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((B_TILE, H), jnp.float32),
-                        pltpu.VMEM((3, H, H), jnp.float32),
-                        pltpu.VMEM((3, H), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((B_TILE, H), jnp.float32)],
         interpret=_interpret(),
     )(gir, giz, gin, hprev, masks, douts, dhT, wr, wz, wn, bhh)
 

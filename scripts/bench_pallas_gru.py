@@ -45,6 +45,7 @@ def bench(fn, args, iters=20):
 def main():
     print("backend:", jax.default_backend())
     for (T, B, D, H) in [(10, 960, 54, 64), (10, 4096, 54, 64),
+                         (10, 2048, 256, 256),
                          (10, 2048, 512, 512), (10, 8192, 512, 512)]:
         cfg = Config(hidden_size=H, recurrent_N=1)
         key = jax.random.PRNGKey(0)

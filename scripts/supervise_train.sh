@@ -43,7 +43,14 @@ last_size=0; stall=0
 while true; do
   sleep 60
   if ! kill -0 "$PID" 2>/dev/null; then
-    echo "$(date) trainer $PID exited" >> "$SUPLOG"
+    wait "$PID"; RC=$?
+    echo "$(date) trainer $PID exited rc=$RC" >> "$SUPLOG"
+    if [ "$RC" -eq 0 ]; then
+      # clean completion — do NOT respawn (a relaunch would exit
+      # immediately with no episodes left and loop forever)
+      echo "$(date) training completed cleanly — supervisor done" >> "$SUPLOG"
+      exit 0
+    fi
     sleep 20
     launch "$@"
     last_size=0; stall=0
