@@ -63,11 +63,10 @@ class Config:
     recurrent_N: int = 1
     data_chunk_length: int = 10
     # Fused Pallas TPU kernel for the sequence-mode GRU (training path).
-    # STRICTLY OPT-IN: interpreter-mode parity is pinned by
-    # tests/test_pallas_gru.py, but a round-3 on-chip A/B found the
-    # COMPILED kernel diverges at H=256 (see models/gru.py + RESULTS.md)
-    # — leave off unless verified on the target chip. No reference
-    # analogue (the reference relies on cuDNN, rnn.py:30-77).
+    # None = AUTO: on for f32 TPU runs at H >= 256 where the round-4
+    # on-chip parity gate passed and the kernel wins (models/gru.py
+    # _use_pallas; scripts/check_pallas_parity.py). True/False force.
+    # No reference analogue (the reference relies on cuDNN, rnn.py:30-77).
     use_pallas_gru: Optional[bool] = None
     # Hanabi: run the whole seat round as ONE jitted device program with
     # the C++ engine stepped through ordered io_callbacks (1 dispatch per

@@ -79,36 +79,71 @@ def step(cfg, params, x: jax.Array, hxs: jax.Array, masks: jax.Array):
     return out, jnp.stack(new_h, axis=1).astype(jnp.float32)
 
 
+def _use_pallas(cfg) -> bool:
+    """Route sequence mode through the fused Pallas kernel?
+
+    Explicit True/False wins. Default (None) = AUTO: on for TPU runs at
+    the widths where the round-4 ON-CHIP gate passed AND the kernel
+    beats the scan — H ≥ 256 (grad step 1.16× at H=256, 1.21–1.26× at
+    H=512 after the VMEM-budget/tile fix, scripts/check_pallas_parity.py
+    + bench_pallas_gru.py); at H=64 both paths sit at the dispatch floor
+    and large-batch H=64 is a regression (0.75×), so the scan stays.
+    The kernel is f32 — auto stays off under bf16 compute so the A/B
+    semantics of --use_bf16 are unchanged."""
+    explicit = getattr(cfg, "use_pallas_gru", None)
+    if explicit is not None:
+        return bool(explicit)
+    H = cfg.hidden_size
+    return (jax.default_backend() == "tpu" and H >= 256 and H % 128 == 0
+            and not getattr(cfg, "use_bf16", False))
+
+
 def sequence(cfg, params, xs: jax.Array, hxs: jax.Array, masks: jax.Array):
     """Scan over a [T, B, in] sequence with per-step mask gating.
 
     hxs: [B, recurrent_N, H] initial state; masks: [T, B, 1].
     Returns (outs [T, B, H], final_hxs [B, recurrent_N, H]).
     """
-    # STRICTLY OPT-IN (None == off): round-3 on-chip A/B found the
-    # kernel's compiled-mode forward diverges from the scan path at
-    # H=256 (maxdiff ~7.6; CPU interpreter parity holds) and VMEM-OOMs
-    # at some tile shapes — do not auto-enable until the compiled
-    # kernel passes an ON-CHIP parity gate (RESULTS.md round 3).
-    if getattr(cfg, "use_pallas_gru", None) is True:
+    if _use_pallas(cfg):
         from onpolicy_tpu.ops import pallas_gru
         return pallas_gru.sequence(cfg, params, xs, hxs, masks)
 
     dt = cm.compute_dtype(cfg)
     params = cm.cast_floats(params, dt)
 
-    def body(h, xm):
-        x, m = xm
-        h = h * m[..., None].astype(dt)
-        new_h = []
-        inp = x.astype(dt)
-        for i, layer in enumerate(params["layers"]):
-            hi = _cell(layer, inp, h[:, i])
-            new_h.append(hi)
-            inp = hi
-        h = jnp.stack(new_h, axis=1)
-        return h, inp
+    # Per-layer scans with the input-side projection HOISTED: layer i's
+    # whole input sequence is known once layer i-1 has scanned, so
+    # gi = x @ W_ih + b_ih becomes ONE [T·B, in] × [in, 3H] MXU matmul
+    # instead of T small ones inside the loop — only the irreducibly
+    # sequential h @ W_hh recurrence stays in the scan, which is
+    # unrolled (L = data_chunk_length is small and static) so XLA fuses
+    # the step bodies instead of paying device-loop overhead per step.
+    # Same math/reduction order as the naive scan (round-4 profile:
+    # this took the rmappo train epoch from ~54 ms to the fused form).
+    T, B = xs.shape[0], xs.shape[1]
+    m = masks.astype(dt)                         # [T, B, 1]
+    inp = xs.astype(dt)
+    finals = []
+    for i, layer in enumerate(params["layers"]):
+        H = layer["w_hh"].shape[0]
+        gi = (inp.reshape(T * B, -1) @ layer["w_ih"]
+              + layer["b_ih"]).reshape(T, B, 3 * H)
 
-    final_h, outs = jax.lax.scan(body, hxs.astype(dt), (xs, masks))
-    outs = cm.layer_norm_apply(params["norm"], outs)
-    return outs, final_h.astype(jnp.float32)
+        def body(h, gm, layer=layer, H=H):
+            g, mm = gm
+            h = h * mm
+            gh = h @ layer["w_hh"] + layer["b_hh"]
+            i_r, i_z, i_n = g[..., :H], g[..., H:2 * H], g[..., 2 * H:]
+            h_r, h_z, h_n = gh[..., :H], gh[..., H:2 * H], gh[..., 2 * H:]
+            r = jax.nn.sigmoid(i_r + h_r)
+            z = jax.nn.sigmoid(i_z + h_z)
+            n = jnp.tanh(i_n + r * h_n)
+            h2 = (1.0 - z) * n + z * h
+            return h2, h2
+
+        h_fin, outs = jax.lax.scan(body, hxs[:, i].astype(dt), (gi, m),
+                                   unroll=T if T <= 16 else 8)
+        finals.append(h_fin)
+        inp = outs
+    outs = cm.layer_norm_apply(params["norm"], inp)
+    return outs, jnp.stack(finals, axis=1).astype(jnp.float32)

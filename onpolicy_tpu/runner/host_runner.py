@@ -27,6 +27,7 @@ import numpy as np
 from onpolicy_tpu import buffer as buf_lib
 from onpolicy_tpu.algorithms.mappo import MAPPO
 from onpolicy_tpu.algorithms.mat import MAT
+from onpolicy_tpu.runner import host_mesh
 from onpolicy_tpu.utils import checkpoint as ckpt_lib
 from onpolicy_tpu.utils import spaces as sp
 
@@ -56,6 +57,11 @@ class HostSharedRunner:
             self.algo = MAPPO(cfg, obs_space, share_space, self.act_space,
                               total_updates=self.episodes)
 
+        # multi-chip: params replicated (or model-sharded), episode
+        # buffer env-axis sharded along 'data', grad/normalizer psums
+        # inserted by XLA under jit (runner/host_mesh.py; SURVEY §5.8)
+        self.mesh = host_mesh.make_host_mesh(cfg, self.N)
+
         self._act_fn = jax.jit(self.algo.get_actions)
         self._act_det_fn = jax.jit(
             lambda st, o, r, m, k, av: self.algo.act(
@@ -74,10 +80,15 @@ class HostSharedRunner:
 
     # ------------------------------------------------------------------
     def init(self, key):
+        cfg = self.cfg
         train_state = self.algo.init_state(key)
-        if self.cfg.model_dir:
-            restored, _, _ = ckpt_lib.restore(self.cfg.model_dir, train_state)
+        self._restore_meta = None          # (step, key) when resuming
+        if cfg.model_dir:
+            restored, step, rkey = ckpt_lib.restore(cfg.model_dir,
+                                                    train_state)
             train_state = jax.tree_util.tree_map(jnp.asarray, restored)
+            self._restore_meta = (step, rkey)
+        train_state = host_mesh.shard_state(self.mesh, train_state)
         out = self.envs.reset()
         if isinstance(out, tuple) and len(out) == 3:
             obs, share_obs, avail = out
@@ -88,8 +99,19 @@ class HostSharedRunner:
             avail = None
         if not self.cfg.use_centralized_V:
             share_obs = obs
-        return train_state, {"obs": obs, "share_obs": share_obs,
-                             "avail": avail}
+        N, M, BA = self.N, self.num_agents, self.N * self.num_agents
+        # full staging carry from the start so a checkpointed carry and
+        # a fresh one share one pytree structure (exact host resume)
+        return train_state, {
+            "obs": np.asarray(obs), "share_obs": np.asarray(share_obs),
+            "avail": None if avail is None else np.asarray(avail),
+            "rnn_a": np.zeros((BA, cfg.recurrent_N, cfg.hidden_size),
+                              np.float32),
+            "rnn_c": np.zeros((BA, cfg.recurrent_N, cfg.hidden_size),
+                              np.float32),
+            "masks": np.ones((N, M, 1), np.float32),
+            "active": np.ones((N, M, 1), np.float32),
+            "bad": np.ones((N, M, 1), np.float32)}
 
     def _compute_and_train(self, train_state, buf, next_values, key):
         cfg = self.cfg
@@ -188,28 +210,34 @@ class HostSharedRunner:
             rnn_a = rnn_a * rnn_mask
             rnn_c = rnn_c * rnn_mask
 
-        traj = {k: jnp.asarray(np.stack(v)) for k, v in stage.items() if v}
-        last = {
-            "share_obs": jnp.asarray(share_obs, jnp.float32),
-            "obs": jnp.asarray(obs, jnp.float32),
-            "rnn_states": jnp.asarray(np.asarray(rnn_a).reshape(
-                N, M, cfg.recurrent_N, -1)),
-            "rnn_states_critic": jnp.asarray(np.asarray(rnn_c).reshape(
-                N, M, cfg.recurrent_N, -1)),
-            "masks": jnp.asarray(masks),
-            "active_masks": jnp.asarray(active),
-            "bad_masks": jnp.asarray(bad),
+        # one batched transfer per episode; env axis sharded along
+        # 'data' on a mesh (host_mesh.put_*), plain device_put otherwise
+        traj = host_mesh.put_traj(
+            self.mesh, {k: np.stack(v) for k, v in stage.items() if v})
+        last_np = {
+            "share_obs": np.asarray(share_obs, np.float32),
+            "obs": np.asarray(obs, np.float32),
+            "rnn_states": np.asarray(rnn_a).reshape(
+                N, M, cfg.recurrent_N, -1),
+            "rnn_states_critic": np.asarray(rnn_c).reshape(
+                N, M, cfg.recurrent_N, -1),
+            "masks": masks,
+            "active_masks": active,
+            "bad_masks": bad,
         }
         if avail is not None:
-            last["available_actions"] = jnp.asarray(avail, jnp.float32)
+            last_np["available_actions"] = np.asarray(avail, np.float32)
+        last = host_mesh.put_last(self.mesh, last_np)
         buf = buf_lib.from_rollout(traj, last)
 
         critic_in = last["share_obs"] if self.algo.critic_reads == "share_obs" \
             else last["obs"]
+        n_glob = last["share_obs"].shape[0]      # == N × process_count
+        ba_glob = n_glob * M
         next_values = self.algo.get_values(
-            train_state, critic_in.reshape(BA, -1),
-            last["rnn_states_critic"].reshape(BA, cfg.recurrent_N, -1),
-            last["masks"].reshape(BA, 1)).reshape(N, M, 1)
+            train_state, critic_in.reshape(ba_glob, -1),
+            last["rnn_states_critic"].reshape(ba_glob, cfg.recurrent_N, -1),
+            last["masks"].reshape(ba_glob, 1)).reshape(n_glob, M, 1)
 
         train_state, metrics = self._train_fn(
             train_state, buf, next_values, jnp.asarray(key_np[T]))
@@ -285,22 +313,49 @@ class HostSharedRunner:
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
         key, k0 = jax.random.split(key)
         train_state, start = self.init(k0)
+
+        # exact resume (beyond the reference's weights-only restore,
+        # base_runner.py:153-162): episode counter, RNG key, and the
+        # staging carry (obs/rnn/masks numpy blocks) round-trip through
+        # the checkpoint's extra file, like shared_runner.py:253-260.
+        # External env state itself cannot be checkpointed (SC2/GRF are
+        # live processes) — the pool is freshly reset; the restored
+        # carry keeps policy/trainer inputs identical.
+        start_episode = 0
+        if getattr(self, "_restore_meta", None) is not None:
+            step, rkey = self._restore_meta
+            template = {k: v for k, v in start.items() if v is not None}
+            extra = ckpt_lib.restore_extra(cfg.model_dir, template)
+            if extra is not None:
+                start = dict(start)
+                start.update({k: np.asarray(v) for k, v in extra.items()})
+            if rkey is not None:
+                key = rkey
+            start_episode = step + 1
+        resumed_steps = start_episode * cfg.episode_length * self.N
+
         t0 = time.perf_counter()
         history = []
-        for ep in range(self.episodes):
+        for ep in range(start_episode, self.episodes):
             key, k = jax.random.split(key)
             train_state, start, metrics = self.run_episode(train_state,
                                                            start, k)
-            if save_dir and (ep % max(cfg.save_interval, 1) == 0
-                             or ep == self.episodes - 1):
-                ckpt_lib.save(save_dir, train_state, step=ep, key=key)
-            if cfg.use_eval and self.eval_envs is not None                     and ep % cfg.eval_interval == 0:
+            if cfg.use_eval and self.eval_envs is not None \
+                    and ep % cfg.eval_interval == 0:
                 key, k_ev = jax.random.split(key)
                 metrics.update(self.evaluate(train_state, k_ev))
+            # save LAST so the checkpointed key reflects the eval split
+            if save_dir and (ep % max(cfg.save_interval, 1) == 0
+                             or ep == self.episodes - 1):
+                ckpt_lib.save(save_dir, train_state, step=ep, key=key,
+                              extra={k: np.asarray(v)
+                                     for k, v in start.items()
+                                     if v is not None})
             if ep % cfg.log_interval == 0 or ep == self.episodes - 1:
                 steps = (ep + 1) * cfg.episode_length * self.N
                 row = {"episode": ep, "steps": steps,
-                       "fps": steps / (time.perf_counter() - t0), **metrics}
+                       "fps": (steps - resumed_steps)
+                       / (time.perf_counter() - t0), **metrics}
                 history.append(row)
                 if log_fn is print:
                     print(f"ep {ep} steps {steps} fps {row['fps']:,.0f} "

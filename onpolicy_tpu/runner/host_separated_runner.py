@@ -24,6 +24,7 @@ from onpolicy_tpu import buffer as buf_lib
 from onpolicy_tpu.algorithms.happo import HAPPO
 from onpolicy_tpu.algorithms.hatrpo import HATRPO
 from onpolicy_tpu.algorithms.mappo import MAPPO
+from onpolicy_tpu.runner import host_mesh
 from onpolicy_tpu.utils import spaces as sp
 
 
@@ -53,6 +54,10 @@ class HostSeparatedRunner:
             Algo(cfg, obs_space, share_space, self.act_space,
                  total_updates=self.episodes) for _ in range(M)]
         self.is_happo = cfg.algorithm_name in ("happo", "hatrpo")
+
+        # multi-chip: same sharded-ingestion story as HostSharedRunner
+        # (params replicated, episode buffer env-sharded along 'data')
+        self.mesh = host_mesh.make_host_mesh(cfg, self.N)
 
         self._act_fn = jax.jit(self._act_all)
         self._train_cache = {}
@@ -165,18 +170,22 @@ class HostSeparatedRunner:
             rnn_a = np.array(rnn_a2) * masks[..., None]
             rnn_c = np.array(rnn_c2) * masks[..., None]
 
-        traj = {k: jnp.asarray(np.stack(v)) for k, v in stage.items() if v}
-        last = {
-            "share_obs": jnp.asarray(share_obs, jnp.float32),
-            "obs": jnp.asarray(obs, jnp.float32),
-            "rnn_states": jnp.asarray(rnn_a),
-            "rnn_states_critic": jnp.asarray(rnn_c),
-            "masks": jnp.asarray(masks),
-            "active_masks": jnp.asarray(active),
-            "bad_masks": jnp.asarray(bad),
+        # one batched transfer per episode; env axis sharded along
+        # 'data' on a mesh (host_mesh.put_*), plain device_put otherwise
+        traj = host_mesh.put_traj(
+            self.mesh, {k: np.stack(v) for k, v in stage.items() if v})
+        last_np = {
+            "share_obs": np.asarray(share_obs, np.float32),
+            "obs": np.asarray(obs, np.float32),
+            "rnn_states": np.asarray(rnn_a),
+            "rnn_states_critic": np.asarray(rnn_c),
+            "masks": masks,
+            "active_masks": active,
+            "bad_masks": bad,
         }
         if avail is not None:
-            last["available_actions"] = jnp.asarray(avail, jnp.float32)
+            last_np["available_actions"] = np.asarray(avail, np.float32)
+        last = host_mesh.put_last(self.mesh, last_np)
         buf = buf_lib.from_rollout(traj, last)
 
         # per-agent bootstrap + GAE over the full [T,N,M] buffer
@@ -264,34 +273,69 @@ class HostSeparatedRunner:
         key, k0 = jax.random.split(key)
         states = tuple(a.init_state(jax.random.fold_in(k0, i))
                        for i, a in enumerate(self.algos))
+        restore_meta = None
         if cfg.model_dir:
-            restored, _, _ = ckpt_lib.restore(cfg.model_dir, states)
+            restored, step, rkey = ckpt_lib.restore(cfg.model_dir, states)
             states = jax.tree_util.tree_map(jnp.asarray, restored)
+            restore_meta = (step, rkey)
+        states = host_mesh.shard_state(self.mesh, states)
         out = self.envs.reset()
         obs, share_obs, avail = out
         if not cfg.use_centralized_V:
             share_obs = obs
-        start = {"obs": obs, "share_obs": share_obs, "avail": avail}
+        N, M = self.N, self.num_agents
+        start = {"obs": np.asarray(obs), "share_obs": np.asarray(share_obs),
+                 "avail": None if avail is None else np.asarray(avail),
+                 "rnn_a": np.zeros((N, M, cfg.recurrent_N, cfg.hidden_size),
+                                   np.float32),
+                 "rnn_c": np.zeros((N, M, cfg.recurrent_N, cfg.hidden_size),
+                                   np.float32),
+                 "masks": np.ones((N, M, 1), np.float32),
+                 "active": np.ones((N, M, 1), np.float32),
+                 "bad": np.ones((N, M, 1), np.float32)}
+        # exact resume: episode counter, RNG key, host-drawn-order RNG
+        # state, and the staging carry round-trip (host_runner.run)
+        start_episode = 0
         rng = np.random.default_rng(cfg.seed)
+        if restore_meta is not None:
+            step, rkey = restore_meta
+            template = {k: v for k, v in start.items() if v is not None}
+            extra = ckpt_lib.restore_extra(cfg.model_dir, template)
+            if extra is not None:
+                start = dict(start)
+                start.update({k: np.asarray(v) for k, v in extra.items()})
+            if rkey is not None:
+                key = rkey
+            start_episode = step + 1
+            # replay the order draws so agent ordering continues exactly
+            for _ in range(start_episode):
+                if self.is_happo:
+                    rng.permutation(self.num_agents)
+        resumed_steps = start_episode * cfg.episode_length * self.N
+
         t0 = time.perf_counter()
         history = []
-        for ep in range(self.episodes):
+        for ep in range(start_episode, self.episodes):
             key, k = jax.random.split(key)
             order = tuple(int(x) for x in rng.permutation(self.num_agents)) \
                 if self.is_happo else tuple(range(self.num_agents))
             states, start, metrics = self.run_episode(states, start, k, order)
-            if save_dir and (ep % max(cfg.save_interval, 1) == 0
-                             or ep == self.episodes - 1):
-                from onpolicy_tpu.utils import checkpoint as ckpt_lib
-                ckpt_lib.save(save_dir, states, step=ep, key=key)
             if cfg.use_eval and self.eval_envs is not None \
                     and ep % cfg.eval_interval == 0:
                 key, k_ev = jax.random.split(key)
                 metrics.update(self.evaluate(states, k_ev))
+            # save LAST so the checkpointed key reflects the eval split
+            if save_dir and (ep % max(cfg.save_interval, 1) == 0
+                             or ep == self.episodes - 1):
+                ckpt_lib.save(save_dir, states, step=ep, key=key,
+                              extra={k: np.asarray(v)
+                                     for k, v in start.items()
+                                     if v is not None})
             if ep % cfg.log_interval == 0 or ep == self.episodes - 1:
                 steps = (ep + 1) * cfg.episode_length * self.N
                 row = {"episode": ep, "steps": steps,
-                       "fps": steps / (time.perf_counter() - t0), **metrics}
+                       "fps": (steps - resumed_steps)
+                       / (time.perf_counter() - t0), **metrics}
                 history.append(row)
                 if log_fn is print:
                     print(f"ep {ep} steps {steps} "

@@ -90,3 +90,23 @@ def test_training_step_equivalence():
     for a, b in zip(jax.tree_util.tree_leaves(g1),
                     jax.tree_util.tree_leaves(g0)):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_auto_enable_policy(monkeypatch):
+    """use_pallas_gru=None → AUTO: TPU + f32 + H>=256 (H%128==0) only;
+    explicit True/False always wins (models/gru._use_pallas)."""
+    from onpolicy_tpu.config import Config
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert gru._use_pallas(Config(hidden_size=512))
+    assert gru._use_pallas(Config(hidden_size=256))
+    assert not gru._use_pallas(Config(hidden_size=64))       # dispatch floor
+    assert not gru._use_pallas(Config(hidden_size=300))      # lane-misaligned
+    assert not gru._use_pallas(Config(hidden_size=512, use_bf16=True))
+    assert not gru._use_pallas(Config(hidden_size=512,
+                                      use_pallas_gru=False))
+    assert gru._use_pallas(Config(hidden_size=64, use_pallas_gru=True))
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert not gru._use_pallas(Config(hidden_size=512))
+    assert gru._use_pallas(Config(hidden_size=512, use_pallas_gru=True))
