@@ -108,42 +108,29 @@ def sequence(cfg, params, xs: jax.Array, hxs: jax.Array, masks: jax.Array):
         from onpolicy_tpu.ops import pallas_gru
         return pallas_gru.sequence(cfg, params, xs, hxs, masks)
 
+    # NOTE (round-4 measurement, scripts left in /tmp lore → RESULTS.md):
+    # hoisting the input projection out of the scan and/or unrolling
+    # LOSES on TPU at training shapes — the scan is bound by a ~1.5 ms
+    # per-iteration kernel-launch floor, and the hoist adds a
+    # materialized [T·B, 3H] HBM round-trip without removing launches
+    # (scan u=1 grad 17.6 ms vs hoist 24-25 ms at [10, 122880, 64]).
+    # The launch floor is what the fused Pallas kernel removes (ONE
+    # kernel for the whole sequence) — see _use_pallas for the routing.
     dt = cm.compute_dtype(cfg)
     params = cm.cast_floats(params, dt)
 
-    # Per-layer scans with the input-side projection HOISTED: layer i's
-    # whole input sequence is known once layer i-1 has scanned, so
-    # gi = x @ W_ih + b_ih becomes ONE [T·B, in] × [in, 3H] MXU matmul
-    # instead of T small ones inside the loop — only the irreducibly
-    # sequential h @ W_hh recurrence stays in the scan, which is
-    # unrolled (L = data_chunk_length is small and static) so XLA fuses
-    # the step bodies instead of paying device-loop overhead per step.
-    # Same math/reduction order as the naive scan (round-4 profile:
-    # this took the rmappo train epoch from ~54 ms to the fused form).
-    T, B = xs.shape[0], xs.shape[1]
-    m = masks.astype(dt)                         # [T, B, 1]
-    inp = xs.astype(dt)
-    finals = []
-    for i, layer in enumerate(params["layers"]):
-        H = layer["w_hh"].shape[0]
-        gi = (inp.reshape(T * B, -1) @ layer["w_ih"]
-              + layer["b_ih"]).reshape(T, B, 3 * H)
+    def body(h, xm):
+        x, m = xm
+        h = h * m[..., None].astype(dt)
+        new_h = []
+        inp = x.astype(dt)
+        for i, layer in enumerate(params["layers"]):
+            hi = _cell(layer, inp, h[:, i])
+            new_h.append(hi)
+            inp = hi
+        h = jnp.stack(new_h, axis=1)
+        return h, inp
 
-        def body(h, gm, layer=layer, H=H):
-            g, mm = gm
-            h = h * mm
-            gh = h @ layer["w_hh"] + layer["b_hh"]
-            i_r, i_z, i_n = g[..., :H], g[..., H:2 * H], g[..., 2 * H:]
-            h_r, h_z, h_n = gh[..., :H], gh[..., H:2 * H], gh[..., 2 * H:]
-            r = jax.nn.sigmoid(i_r + h_r)
-            z = jax.nn.sigmoid(i_z + h_z)
-            n = jnp.tanh(i_n + r * h_n)
-            h2 = (1.0 - z) * n + z * h
-            return h2, h2
-
-        h_fin, outs = jax.lax.scan(body, hxs[:, i].astype(dt), (gi, m),
-                                   unroll=T if T <= 16 else 8)
-        finals.append(h_fin)
-        inp = outs
-    outs = cm.layer_norm_apply(params["norm"], inp)
-    return outs, jnp.stack(finals, axis=1).astype(jnp.float32)
+    final_h, outs = jax.lax.scan(body, hxs.astype(dt), (xs, masks))
+    outs = cm.layer_norm_apply(params["norm"], outs)
+    return outs, final_h.astype(jnp.float32)

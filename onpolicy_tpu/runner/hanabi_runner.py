@@ -65,11 +65,30 @@ class HanabiRunner:
         self.episodes = int(cfg.num_env_steps) // cfg.episode_length // self.N
         self.algo = MAPPO(cfg, obs_space, share_space, self.act_space,
                           total_updates=self.episodes)
-        self._act_fn = jax.jit(self.algo.get_actions)
+        # Collection splits actor and critic: the actor must run per
+        # seat (its action feeds the next seat's observation), but the
+        # value head feeds nothing inside the round — so the critic is
+        # DEFERRED to one batched [N·M] pass per round (half the
+        # sequential network stacks, 2× the critic matmul batch; the
+        # round-3 profile named this lever, docs/PROFILE_HANABI.md).
+        self._det_collect = False     # tests force deterministic actions
+        self._actor_fn = jax.jit(self._actor_step)
+        self._critic_fn = jax.jit(self._critic_batch)
         self._act_det = jax.jit(lambda st, o, r, m, k, av: self.algo.act(
             st, o, r, m, k, av, deterministic=True))
         self._train_fn = jax.jit(self._compute_and_train)
         self.true_total_num_steps = 0
+
+    def _actor_step(self, train_state, obs, rnn, masks, key, avail):
+        """Actor-only seat step (critic deferred — see _host_round /
+        _device_round tail)."""
+        return self.algo.actor.forward(
+            train_state.actor_params, obs, rnn, masks, key, avail,
+            self._det_collect)
+
+    def _critic_batch(self, train_state, share, rnn_c, masks):
+        return self.algo.critic.forward(train_state.critic_params, share,
+                                        rnn_c, masks)
 
     # ------------------------------------------------------------------
     def _alloc_buffer(self):
@@ -118,6 +137,14 @@ class HanabiRunner:
         (key, reset_choose [N] bool, finished-game scores list)."""
         cfg, N, M = self.cfg, self.N, self.num_agents
         reset_choose = np.zeros(N, bool)
+        done_this_round = np.zeros(N, bool)
+        chose = np.zeros((N, M), bool)
+        zeroed = np.zeros((N, M), bool)   # future-seat slots blanked on done
+        # round-start critic state/masks: for every (env, seat) slot the
+        # sequential path would act on, these equal what its per-seat
+        # critic call consumed (done-gating only touches non-chosen rows)
+        rnn_c0 = turn["rnn_critic"].copy()
+        masks0 = turn["masks"].copy()
         ep_scores = []
         for seat in range(M):
             env_actions = np.full(N, -1, np.int64)
@@ -126,21 +153,19 @@ class HanabiRunner:
                 reset_choose[:] = True
                 break
             key, k_act = jax.random.split(key)
-            values, actions, logp, rnn, rnn_c = self._act_fn(
-                train_state, use["share"], use["obs"],
-                turn["rnn"][:, seat], turn["rnn_critic"][:, seat],
+            actions, logp, rnn = self._actor_fn(
+                train_state, use["obs"], turn["rnn"][:, seat],
                 turn["masks"][:, seat], k_act, use["avail"])
-            values, actions, logp, rnn, rnn_c = map(
-                np.asarray, (values, actions, logp, rnn, rnn_c))
+            actions, logp, rnn = map(np.asarray, (actions, logp, rnn))
+            chose[:, seat] = choose
+            zeroed[:, seat] = done_this_round
 
             turn["obs"][choose, seat] = use["obs"][choose]
             turn["share_obs"][choose, seat] = use["share"][choose]
             turn["avail"][choose, seat] = use["avail"][choose]
-            turn["values"][choose, seat] = values[choose]
             turn["actions"][choose, seat] = actions[choose]
             turn["logp"][choose, seat] = logp[choose]
             turn["rnn"][choose, seat] = rnn[choose]
-            turn["rnn_critic"][choose, seat] = rnn_c[choose]
             env_actions[choose] = actions[choose, 0].astype(np.int64)
 
             obs, share_obs, rewards, done, cur, avail, score = \
@@ -159,23 +184,39 @@ class HanabiRunner:
             if newly_done.any():
                 nd = newly_done
                 reset_choose[nd] = True
+                done_this_round[nd] = True
                 use["avail"][nd] = 0.0
                 turn["masks"][nd] = 0.0
                 turn["rnn"][nd] = 0.0
-                turn["rnn_critic"][nd] = 0.0
                 turn["active"][nd, seat] = 1.0
                 if seat + 1 < M:
                     turn["active"][nd, seat + 1:] = 0.0
                     turn["rewards"][nd, seat + 1:] = \
                         turn["accum"][nd, seat + 1:]
                     turn["accum"][nd, seat + 1:] = 0.0
-                    turn["values"][nd, seat + 1:] = 0.0
                     turn["obs"][nd, seat + 1:] = 0.0
                     turn["share_obs"][nd, seat + 1:] = 0.0
                 ep_scores.extend(score[nd].tolist())
             not_done = (~done) & choose
             turn["masks"][not_done, seat] = 1.0
             turn["active"][not_done, seat] = 1.0
+
+        # deferred batched critic: ONE [N·M] pass over the staged
+        # share_obs instead of one [N] pass per seat — values feed only
+        # the buffer, never the round, so this is semantics-preserving
+        BA = N * M
+        v_all, rnn_c_all = self._critic_fn(
+            train_state, turn["share_obs"].reshape(BA, -1),
+            rnn_c0.reshape(BA, *rnn_c0.shape[2:]),
+            masks0.reshape(BA, 1))
+        v_all = np.asarray(v_all).reshape(N, M, 1)
+        rnn_c_all = np.asarray(rnn_c_all).reshape(N, M,
+                                                  *rnn_c0.shape[2:])
+        turn["values"][zeroed] = 0.0
+        w = chose & ~zeroed
+        turn["values"][w] = v_all[w]
+        turn["rnn_critic"][chose] = rnn_c_all[chose]
+        turn["rnn_critic"][done_this_round] = 0.0
         return key, reset_choose, ep_scores
 
     # ------------------------------------------------------------------
@@ -240,19 +281,25 @@ class HanabiRunner:
 
         c = dict(carry)
         reset_choose = jnp.zeros((N,), bool)
+        done_this_round = jnp.zeros((N,), bool)
         score_sum = jnp.zeros((), f32)
         score_n = jnp.zeros((), jnp.int32)
         true_delta = jnp.zeros((), jnp.int32)
+        chose_l, zero_l = [], []
+        # round-start critic state/masks for the deferred batched pass
+        rnn_c0 = c["rnn_critic"]
+        masks0 = c["masks"]
 
         for seat in range(M):
             choose = jnp.any(c["use_avail"] == 1, axis=1)       # [N]
             c1 = choose[:, None]
             c2 = choose[:, None, None]
             key, k_act = jax.random.split(key)
-            values, actions, logp, rnn, rnn_c = self.algo.get_actions(
-                train_state, c["use_share"], c["use_obs"],
-                c["rnn"][:, seat], c["rnn_critic"][:, seat],
+            actions, logp, rnn = self._actor_step(
+                train_state, c["use_obs"], c["rnn"][:, seat],
                 c["masks"][:, seat], k_act, c["use_avail"])
+            chose_l.append(choose)
+            zero_l.append(done_this_round)
 
             upd = lambda name, new, cm: c.__setitem__(
                 name, c[name].at[:, seat].set(
@@ -260,11 +307,9 @@ class HanabiRunner:
             upd("obs", c["use_obs"], c1)
             upd("share_obs", c["use_share"], c1)
             upd("avail", c["use_avail"], c1)
-            upd("values", values, c1)
             upd("actions", actions, c1)
             upd("logp", logp, c1)
             upd("rnn", rnn, c2)
-            upd("rnn_critic", rnn_c, c2)
             env_actions = jnp.where(
                 choose, actions[:, 0].astype(jnp.int64), -1)
 
@@ -290,11 +335,10 @@ class HanabiRunner:
             nd1 = nd[:, None]
             nd2 = nd[:, None, None]
             reset_choose = reset_choose | nd
+            done_this_round = done_this_round | nd
             c["use_avail"] = jnp.where(nd1, 0.0, c["use_avail"])
             c["masks"] = jnp.where(nd2, 0.0, c["masks"])
             c["rnn"] = jnp.where(nd[:, None, None, None], 0.0, c["rnn"])
-            c["rnn_critic"] = jnp.where(nd[:, None, None, None], 0.0,
-                                        c["rnn_critic"])
             c["active"] = c["active"].at[:, seat].set(
                 jnp.where(nd1, 1.0, c["active"][:, seat]))
             if seat + 1 < M:
@@ -305,7 +349,6 @@ class HanabiRunner:
                 setf("active", 0.0)
                 setf("rewards", c["accum"][:, fut])
                 setf("accum", 0.0)
-                setf("values", 0.0)
                 setf("obs", 0.0)
                 setf("share_obs", 0.0)
             score_sum = score_sum + jnp.sum(jnp.where(nd, score, 0.0))
@@ -315,6 +358,27 @@ class HanabiRunner:
                 jnp.where(ndn[:, None], 1.0, c["masks"][:, seat]))
             c["active"] = c["active"].at[:, seat].set(
                 jnp.where(ndn[:, None], 1.0, c["active"][:, seat]))
+
+        # deferred batched critic (mirrors _host_round's tail): one
+        # [N·M] pass over the staged share_obs; chosen slots take the
+        # fresh value/state, future-seat slots blanked on done take 0,
+        # everything else keeps its previous staging
+        chose_m = jnp.stack(chose_l, axis=1)           # [N, M]
+        zero_m = jnp.stack(zero_l, axis=1)
+        BA = N * M
+        v_all, rnn_c_all = self.algo.critic.forward(
+            train_state.critic_params, c["share_obs"].reshape(BA, -1),
+            rnn_c0.reshape(BA, *rnn_c0.shape[2:]),
+            masks0.reshape(BA, 1))
+        v_all = v_all.reshape(N, M, 1)
+        rnn_c_all = rnn_c_all.reshape(N, M, *rnn_c0.shape[2:])
+        c["values"] = jnp.where(
+            zero_m[..., None], 0.0,
+            jnp.where(chose_m[..., None], v_all, c["values"]))
+        c["rnn_critic"] = jnp.where(
+            done_this_round[:, None, None, None], 0.0,
+            jnp.where(chose_m[:, :, None, None], rnn_c_all,
+                      c["rnn_critic"]))
 
         # the buffer slots the PRE-reset masks at step t+1
         masks_insert = c["masks"]

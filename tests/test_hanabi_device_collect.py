@@ -32,9 +32,8 @@ def _make_runner(extra=()):
     cfg = config_from_args(ARGS + list(extra))
     runner = HanabiRunner(cfg)
     # force deterministic actions so both paths pick identical moves
-    orig = runner.algo.get_actions
-    runner.algo.get_actions = functools.partial(orig, deterministic=True)
-    runner._act_fn = jax.jit(runner.algo.get_actions)
+    # (the runner's collection flag is read when _actor_fn first traces)
+    runner._det_collect = True
     return runner
 
 
