@@ -81,6 +81,28 @@ def put_batched(mesh, x, batch_axis: int):
     return jax.device_put(x, ds)
 
 
+def act_state(mesh, train_state):
+    """Per-process act-path copy of the train state.
+
+    Under multi-host, each process acts on its OWN env rows with its
+    own observations — those must not flow through the global SPMD
+    program (multi-process global arrays assume every host passes
+    identical values). The params are replicated, so an addressable
+    local copy is one device_get away; refreshed once per episode
+    after the (global) train step. Single-process: returns the state
+    unchanged (zero overhead)."""
+    if mesh is None or jax.process_count() == 1:
+        return train_state
+    if mesh_lib.MODEL_AXIS in mesh.shape \
+            and mesh.shape[mesh_lib.MODEL_AXIS] > 1:
+        raise NotImplementedError(
+            "host-runner multi-host with model-sharded params is not "
+            "supported: the per-step act path needs an addressable "
+            "process-local parameter copy")
+    return jax.tree_util.tree_map(
+        lambda x: jax.numpy.asarray(jax.device_get(x)), train_state)
+
+
 def put_traj(mesh, traj: dict):
     """Stage dict of [T, N, …] blocks → device, env axis (1) sharded."""
     return {k: put_batched(mesh, v, 1) for k, v in traj.items()}

@@ -89,6 +89,8 @@ class HostSharedRunner:
             train_state = jax.tree_util.tree_map(jnp.asarray, restored)
             self._restore_meta = (step, rkey)
         train_state = host_mesh.shard_state(self.mesh, train_state)
+        # per-process act-path params (multi-host; == train_state else)
+        self._act_ts = host_mesh.act_state(self.mesh, train_state)
         out = self.envs.reset()
         if isinstance(out, tuple) and len(out) == 3:
             obs, share_obs, avail = out
@@ -144,9 +146,10 @@ class HostSharedRunner:
         infos_tail = []
         key_np = np.asarray(jax.random.split(key, T + 1))
 
+        act_ts = getattr(self, "_act_ts", train_state)
         for t in range(T):
             values, actions, logp, rnn_a2, rnn_c2 = self._act_fn(
-                train_state, flat(share_obs), flat(obs), rnn_a, rnn_c,
+                act_ts, flat(share_obs), flat(obs), rnn_a, rnn_c,
                 flat(masks), key_np[t],
                 flat(avail) if avail is not None else None)
             actions_np = np.asarray(actions).reshape(N, M, -1)
@@ -241,6 +244,7 @@ class HostSharedRunner:
 
         train_state, metrics = self._train_fn(
             train_state, buf, next_values, jnp.asarray(key_np[T]))
+        self._act_ts = host_mesh.act_state(self.mesh, train_state)
         metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
         metrics["average_step_rewards"] = float(np.mean(np.stack(
             stage["rewards"])))
@@ -265,6 +269,10 @@ class HostSharedRunner:
         BA = N * M
         eval_episodes = eval_episodes or cfg.eval_episodes
         key = key if key is not None else jax.random.PRNGKey(cfg.seed + 50000)
+        # multi-host: act on the process-local param copy (host_mesh)
+        if self.mesh is not None and jax.process_count() > 1:
+            act_ts = getattr(self, "_act_ts", None)
+            train_state = act_ts if act_ts is not None else train_state
         out = env.reset()
         if isinstance(out, tuple) and len(out) == 3:
             obs, _, avail = out

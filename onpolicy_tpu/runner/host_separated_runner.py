@@ -128,9 +128,10 @@ class HostSeparatedRunner:
                   "masks", "active_masks", "bad_masks", "available_actions")}
         infos_tail = []
         keys = np.asarray(jax.random.split(key, T + 2))
+        act_states = getattr(self, "_act_states", states)
         for t in range(T):
             values, actions, logp, rnn_a2, rnn_c2 = self._act_fn(
-                states, jnp.asarray(share_obs), jnp.asarray(obs),
+                act_states, jnp.asarray(share_obs), jnp.asarray(obs),
                 jnp.asarray(rnn_a), jnp.asarray(rnn_c), jnp.asarray(masks),
                 keys[t], jnp.asarray(avail) if avail is not None else None)
             actions_np = np.asarray(actions)
@@ -201,6 +202,8 @@ class HostSeparatedRunner:
             use_proper_time_limits=cfg.use_proper_time_limits)
 
         states, metrics = self._train(order, states, buf, keys[T + 1])
+        # per-process act-path params for multi-host (host_mesh)
+        self._act_states = host_mesh.act_state(self.mesh, states)
         metrics = jax.device_get(metrics)
         flat = {"average_step_rewards":
                 float(np.mean(np.stack(stage["rewards"])))}
@@ -218,6 +221,10 @@ class HostSeparatedRunner:
     def evaluate(self, states, key=None, eval_episodes=None):
         cfg = self.cfg
         env = self.eval_envs or self.envs
+        # multi-host: act on the process-local param copy (host_mesh)
+        if self.mesh is not None and jax.process_count() > 1:
+            acts = getattr(self, "_act_states", None)
+            states = acts if acts is not None else states
         key = key if key is not None else jax.random.PRNGKey(cfg.seed + 5)
         eval_episodes = eval_episodes or cfg.eval_episodes
         N, M = env.n_envs, self.num_agents
@@ -279,6 +286,7 @@ class HostSeparatedRunner:
             states = jax.tree_util.tree_map(jnp.asarray, restored)
             restore_meta = (step, rkey)
         states = host_mesh.shard_state(self.mesh, states)
+        self._act_states = host_mesh.act_state(self.mesh, states)
         out = self.envs.reset()
         obs, share_obs, avail = out
         if not cfg.use_centralized_V:

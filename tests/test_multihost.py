@@ -145,3 +145,135 @@ def test_global_mesh_shape_preserves_model_axis():
                            num_agents=3, mesh_shape=(1, 2))
     assert distributed.global_mesh_shape(cfg) == (n // 2, 2)
     assert distributed.global_mesh_shape() == (n,)
+
+
+# ---------------------------------------------------------------------------
+# host-ingestion runner multi-host (round-4: runner/host_mesh.py)
+# ---------------------------------------------------------------------------
+
+HOST_WORKER = r"""
+import functools, json, os, sys
+import jax
+jax.config.update('jax_platforms', 'cpu')
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=4")
+import numpy as np
+pid = int(sys.argv[1]); port = sys.argv[2]; out_path = sys.argv[3]
+from onpolicy_tpu.parallel import distributed
+distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                       num_processes=2, process_id=pid)
+assert jax.device_count() == 8
+
+from onpolicy_tpu.config import config_from_args
+from onpolicy_tpu.envs.host_vec import DummyVecEnv
+from onpolicy_tpu.runner.host_runner import HostSharedRunner
+from tests.test_host_vec import MockSmacEnv
+
+class SeededEnv(MockSmacEnv):
+    # obs depend on the GLOBAL env id so misplaced rows break equality
+    def _out(self):
+        obs, state, avail = super()._out()
+        return obs + self.seed_val * 0.1, state + self.seed_val * 0.1, avail
+
+cfg = config_from_args([
+    "--algorithm_name", "rmappo", "--episode_length", "6",
+    "--n_rollout_threads", "4", "--num_env_steps", "96",
+    "--ppo_epoch", "2", "--hidden_size", "32",
+    "--data_chunk_length", "3", "--use_eval", "false",
+    "--mesh_shape", "8", "--seed", "7"])
+env = DummyVecEnv([lambda s=pid * 4 + i: SeededEnv(s) for i in range(4)],
+                  protocol="share")
+runner = HostSharedRunner(cfg, env)
+# deterministic actions: identical trajectories regardless of process
+# batch layout, so a single-process 8-env run is the exact oracle
+runner._act_fn = jax.jit(functools.partial(runner.algo.get_actions,
+                                           deterministic=True))
+key = jax.random.PRNGKey(0)
+key, k0 = jax.random.split(key)
+ts, start = runner.init(k0)
+rows = []
+for _ in range(3):
+    key, k = jax.random.split(key)
+    ts, start, m = runner.run_episode(ts, start, k)
+    rows.append({k2: float(m[k2]) for k2 in
+                 ("value_loss", "policy_loss", "dist_entropy", "ratio")})
+env.close()
+with open(out_path, "w") as f:
+    json.dump(rows, f)
+"""
+
+
+@pytest.mark.slow
+def test_host_runner_two_process_matches_single(tmp_path):
+    """The host-ingestion data plane across 2 processes: each owns its
+    local env pool, contributes rows via make_array_from_process_local_
+    data (host_mesh.put_batched), and the psum-reduced train metrics
+    must equal a single-process run over the same 8 global envs."""
+    port = str(_free_port())
+    script = tmp_path / "host_worker.py"
+    script.write_text(HOST_WORKER)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "host_platform_device_count" not in f)
+    outs = [str(tmp_path / f"hm_{i}.json") for i in range(2)]
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(i), port, outs[i]],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        logs.append(out.decode(errors="replace"))
+    assert all(p.returncode == 0 for p in procs), \
+        "worker failed:\n" + "\n----\n".join(logs)
+
+    # single-process oracle: all 8 envs in one pool, same seeds/keys
+    import functools
+    import jax
+    from onpolicy_tpu.config import config_from_args
+    from onpolicy_tpu.envs.host_vec import DummyVecEnv
+    from onpolicy_tpu.runner.host_runner import HostSharedRunner
+    from tests.test_host_vec import MockSmacEnv
+
+    class SeededEnv(MockSmacEnv):
+        def _out(self):
+            obs, state, avail = super()._out()
+            return (obs + self.seed_val * 0.1, state + self.seed_val * 0.1,
+                    avail)
+
+    cfg = config_from_args([
+        "--algorithm_name", "rmappo", "--episode_length", "6",
+        "--n_rollout_threads", "8", "--num_env_steps", "192",
+        "--ppo_epoch", "2", "--hidden_size", "32",
+        "--data_chunk_length", "3", "--use_eval", "false",
+        "--mesh_shape", "8", "--seed", "7"])
+    envp = DummyVecEnv([lambda s=i: SeededEnv(s) for i in range(8)],
+                       protocol="share")
+    try:
+        runner = HostSharedRunner(cfg, envp)
+        runner._act_fn = jax.jit(functools.partial(
+            runner.algo.get_actions, deterministic=True))
+        key = jax.random.PRNGKey(0)
+        key, k0 = jax.random.split(key)
+        ts, start = runner.init(k0)
+        single = []
+        for _ in range(3):
+            key, k = jax.random.split(key)
+            ts, start, m = runner.run_episode(ts, start, k)
+            single.append({k2: float(m[k2]) for k2 in
+                           ("value_loss", "policy_loss", "dist_entropy",
+                            "ratio")})
+    finally:
+        envp.close()
+
+    rows0 = json.load(open(outs[0]))
+    rows1 = json.load(open(outs[1]))
+    for ep, (a, b, s) in enumerate(zip(rows0, rows1, single)):
+        for k in s:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-6, atol=1e-6,
+                                       err_msg=f"ep{ep} {k} worker mismatch")
+            np.testing.assert_allclose(a[k], s[k], rtol=2e-4, atol=2e-4,
+                                       err_msg=f"ep{ep} {k} vs single")
