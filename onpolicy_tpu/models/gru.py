@@ -93,6 +93,12 @@ def _use_pallas(cfg) -> bool:
     explicit = getattr(cfg, "use_pallas_gru", None)
     if explicit is not None:
         return bool(explicit)
+    # HATRPO's Fisher-vector product is forward-over-reverse
+    # (jax.jvp of the KL gradient, hatrpo.py) and jvp through a
+    # custom_vjp function is unsupported — auto never routes it to the
+    # kernel (explicit True still forces, and will raise there).
+    if getattr(cfg, "algorithm_name", "") == "hatrpo":
+        return False
     H = cfg.hidden_size
     return (jax.default_backend() == "tpu" and H >= 256 and H % 128 == 0
             and not getattr(cfg, "use_bf16", False))

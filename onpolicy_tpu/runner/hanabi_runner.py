@@ -71,6 +71,10 @@ class HanabiRunner:
         # DEFERRED to one batched [N·M] pass per round (half the
         # sequential network stacks, 2× the critic matmul batch; the
         # round-3 profile named this lever, docs/PROFILE_HANABI.md).
+        # NOTE: read at FIRST TRACE of _actor_fn/_device_round — set it
+        # before any collection call (toggling later is a no-op: the
+        # jitted trace baked the value in). Tests set it right after
+        # construction.
         self._det_collect = False     # tests force deterministic actions
         self._actor_fn = jax.jit(self._actor_step)
         self._critic_fn = jax.jit(self._critic_batch)
@@ -139,7 +143,11 @@ class HanabiRunner:
         reset_choose = np.zeros(N, bool)
         done_this_round = np.zeros(N, bool)
         chose = np.zeros((N, M), bool)
-        zeroed = np.zeros((N, M), bool)   # future-seat slots blanked on done
+        # seat at which each env died this round (M = survived): the
+        # future-seat zero set must cover seats the loop never VISITS
+        # (early break when no env has actions left), exactly like the
+        # old at-death `turn["values"][nd, seat+1:] = 0` did
+        done_at = np.full(N, M, np.int32)
         # round-start critic state/masks: for every (env, seat) slot the
         # sequential path would act on, these equal what its per-seat
         # critic call consumed (done-gating only touches non-chosen rows)
@@ -158,7 +166,6 @@ class HanabiRunner:
                 turn["masks"][:, seat], k_act, use["avail"])
             actions, logp, rnn = map(np.asarray, (actions, logp, rnn))
             chose[:, seat] = choose
-            zeroed[:, seat] = done_this_round
 
             turn["obs"][choose, seat] = use["obs"][choose]
             turn["share_obs"][choose, seat] = use["share"][choose]
@@ -185,6 +192,7 @@ class HanabiRunner:
                 nd = newly_done
                 reset_choose[nd] = True
                 done_this_round[nd] = True
+                done_at[nd] = seat
                 use["avail"][nd] = 0.0
                 turn["masks"][nd] = 0.0
                 turn["rnn"][nd] = 0.0
@@ -212,6 +220,7 @@ class HanabiRunner:
         v_all = np.asarray(v_all).reshape(N, M, 1)
         rnn_c_all = np.asarray(rnn_c_all).reshape(N, M,
                                                   *rnn_c0.shape[2:])
+        zeroed = done_at[:, None] < np.arange(M)[None, :]
         turn["values"][zeroed] = 0.0
         w = chose & ~zeroed
         turn["values"][w] = v_all[w]

@@ -166,3 +166,48 @@ def test_device_collect_full_run_trains():
     assert np.isfinite(hist[-1].get("value_loss", 0.0))
     assert hist[-1]["true_steps"] > 0
     runner.envs.close()
+
+
+def test_host_round_break_zeroes_future_values():
+    """Round-4 code-review finding: when every env dies at seat 0 the
+    seat loop breaks before visiting seat 1 — the unvisited seats'
+    staged value_preds must still be zeroed (the old code zeroed them
+    AT DEATH; the deferred-critic compose must cover unvisited seats)."""
+    import numpy as np
+
+    runner = _make_runner()
+    N, M = runner.N, runner.num_agents
+    Do, Ds, A = runner.envs.obs_dim, runner.envs.share_dim, \
+        runner.envs.n_moves
+
+    class FakeVec:
+        """Every env reports done on the first step of the round."""
+        obs_dim, share_dim, n_moves = Do, Ds, A
+
+        def step(self, env_actions):
+            obs = np.zeros((N, Do), np.float32)
+            share = np.zeros((N, Ds), np.float32)
+            rewards = np.zeros((N, M, 1), np.float32)
+            done = np.ones(N, bool)
+            avail = np.zeros((N, A), np.float32)
+            score = np.full(N, 5.0, np.float32)
+            return obs, share, rewards, done, None, avail, score
+
+    runner.envs = FakeVec()
+    ts = runner.algo.init_state(jax.random.PRNGKey(0))
+    obs = np.random.default_rng(0).normal(size=(N, Do)).astype(np.float32)
+    share = np.random.default_rng(1).normal(size=(N, Ds)).astype(np.float32)
+    avail = np.ones((N, A), np.float32)
+    use, turn = runner._fresh_staging(obs, share, avail)
+    turn["values"][:] = 7.0          # stale sentinel from a prior round
+
+    _, reset_choose, scores = runner._host_round(
+        ts, turn, use, jax.random.PRNGKey(1))
+
+    assert reset_choose.all() and len(scores) == N
+    # seat 0 was acted on -> fresh critic values (not the sentinel)
+    assert not np.any(turn["values"][:, 0] == 7.0)
+    # seats after the death must be ZEROED even though the loop never
+    # visited them (all envs dead -> break at seat 1)
+    np.testing.assert_array_equal(turn["values"][:, 1:], 0.0)
+    np.testing.assert_array_equal(turn["rnn_critic"], 0.0)

@@ -110,3 +110,18 @@ def test_auto_enable_policy(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     assert not gru._use_pallas(Config(hidden_size=512))
     assert gru._use_pallas(Config(hidden_size=512, use_pallas_gru=True))
+
+
+def test_auto_enable_excludes_hatrpo(monkeypatch):
+    """HATRPO's fisher-vector product is jax.jvp over the KL gradient;
+    jvp through a custom_vjp function is unsupported, so AUTO never
+    routes the TRPO path to the kernel (code-review r4 finding)."""
+    from onpolicy_tpu.config import Config
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert not gru._use_pallas(Config(hidden_size=512,
+                                      algorithm_name="hatrpo",
+                                      share_policy=False))
+    assert gru._use_pallas(Config(hidden_size=512,
+                                  algorithm_name="happo",
+                                  share_policy=False))
