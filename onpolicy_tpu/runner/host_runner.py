@@ -27,7 +27,7 @@ import numpy as np
 from onpolicy_tpu import buffer as buf_lib
 from onpolicy_tpu.algorithms.mappo import MAPPO
 from onpolicy_tpu.algorithms.mat import MAT
-from onpolicy_tpu.runner import host_mesh
+from onpolicy_tpu.runner import host_mesh, host_resume
 from onpolicy_tpu.utils import checkpoint as ckpt_lib
 from onpolicy_tpu.utils import spaces as sp
 
@@ -322,24 +322,9 @@ class HostSharedRunner:
         key, k0 = jax.random.split(key)
         train_state, start = self.init(k0)
 
-        # exact resume (beyond the reference's weights-only restore,
-        # base_runner.py:153-162): episode counter, RNG key, and the
-        # staging carry (obs/rnn/masks numpy blocks) round-trip through
-        # the checkpoint's extra file, like shared_runner.py:253-260.
-        # External env state itself cannot be checkpointed (SC2/GRF are
-        # live processes) — the pool is freshly reset; the restored
-        # carry keeps policy/trainer inputs identical.
-        start_episode = 0
-        if getattr(self, "_restore_meta", None) is not None:
-            step, rkey = self._restore_meta
-            template = {k: v for k, v in start.items() if v is not None}
-            extra = ckpt_lib.restore_extra(cfg.model_dir, template)
-            if extra is not None:
-                start = dict(start)
-                start.update({k: np.asarray(v) for k, v in extra.items()})
-            if rkey is not None:
-                key = rkey
-            start_episode = step + 1
+        # exact resume — shared protocol (runner/host_resume.py)
+        start, key, start_episode = host_resume.restore_run_state(
+            cfg, start, getattr(self, "_restore_meta", None), key)
         resumed_steps = start_episode * cfg.episode_length * self.N
 
         t0 = time.perf_counter()
@@ -355,10 +340,8 @@ class HostSharedRunner:
             # save LAST so the checkpointed key reflects the eval split
             if save_dir and (ep % max(cfg.save_interval, 1) == 0
                              or ep == self.episodes - 1):
-                ckpt_lib.save(save_dir, train_state, step=ep, key=key,
-                              extra={k: np.asarray(v)
-                                     for k, v in start.items()
-                                     if v is not None})
+                host_resume.save_run_state(save_dir, train_state, ep,
+                                           key, start)
             if ep % cfg.log_interval == 0 or ep == self.episodes - 1:
                 steps = (ep + 1) * cfg.episode_length * self.N
                 row = {"episode": ep, "steps": steps,

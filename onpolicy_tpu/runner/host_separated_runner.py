@@ -301,24 +301,15 @@ class HostSeparatedRunner:
                  "masks": np.ones((N, M, 1), np.float32),
                  "active": np.ones((N, M, 1), np.float32),
                  "bad": np.ones((N, M, 1), np.float32)}
-        # exact resume: episode counter, RNG key, host-drawn-order RNG
-        # state, and the staging carry round-trip (host_runner.run)
-        start_episode = 0
+        # exact resume — shared protocol (runner/host_resume.py) plus
+        # replaying the host-drawn HAPPO order stream
+        from onpolicy_tpu.runner import host_resume
+        start, key, start_episode = host_resume.restore_run_state(
+            cfg, start, restore_meta, key)
         rng = np.random.default_rng(cfg.seed)
-        if restore_meta is not None:
-            step, rkey = restore_meta
-            template = {k: v for k, v in start.items() if v is not None}
-            extra = ckpt_lib.restore_extra(cfg.model_dir, template)
-            if extra is not None:
-                start = dict(start)
-                start.update({k: np.asarray(v) for k, v in extra.items()})
-            if rkey is not None:
-                key = rkey
-            start_episode = step + 1
-            # replay the order draws so agent ordering continues exactly
+        if self.is_happo:
             for _ in range(start_episode):
-                if self.is_happo:
-                    rng.permutation(self.num_agents)
+                rng.permutation(self.num_agents)
         resumed_steps = start_episode * cfg.episode_length * self.N
 
         t0 = time.perf_counter()
@@ -335,10 +326,8 @@ class HostSeparatedRunner:
             # save LAST so the checkpointed key reflects the eval split
             if save_dir and (ep % max(cfg.save_interval, 1) == 0
                              or ep == self.episodes - 1):
-                ckpt_lib.save(save_dir, states, step=ep, key=key,
-                              extra={k: np.asarray(v)
-                                     for k, v in start.items()
-                                     if v is not None})
+                host_resume.save_run_state(save_dir, states, ep, key,
+                                           start)
             if ep % cfg.log_interval == 0 or ep == self.episodes - 1:
                 steps = (ep + 1) * cfg.episode_length * self.N
                 row = {"episode": ep, "steps": steps,
