@@ -331,6 +331,8 @@ def bench_host_ingestion(n_envs: int = 32, episode_length: int = 50,
 
 
 if __name__ == "__main__":
+    from onpolicy_tpu.utils import compile_cache
+    compile_cache.enable()   # persistent XLA cache across bench runs
     result = bench()
     # flagship-config extras (round-2 VERDICT item 4) — failures here
     # must never break the headline JSON line

@@ -30,6 +30,8 @@ def parse_args(argv):
 
 
 def main(argv=None):
+    from onpolicy_tpu.utils import compile_cache
+    compile_cache.enable()   # persistent XLA cache (fresh-process recompiles)
     ns = parse_args(argv if argv is not None else sys.argv[1:])
     overrides = {k: v for k, v in vars(ns).items()
                  if k in Config.__dataclass_fields__}

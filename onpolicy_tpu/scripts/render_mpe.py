@@ -22,6 +22,8 @@ from onpolicy_tpu.utils.render import render_frame, save_gif
 
 
 def main(argv=None):
+    from onpolicy_tpu.utils import compile_cache
+    compile_cache.enable()   # persistent XLA cache (fresh-process recompiles)
     cfg = config_from_args(argv, n_rollout_threads=1, use_render=True)
     runner = SharedRunner(cfg.replace(n_rollout_threads=1))
     state = runner.algo.init_state(jax.random.PRNGKey(cfg.seed))

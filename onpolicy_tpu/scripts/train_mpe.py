@@ -23,6 +23,8 @@ from onpolicy_tpu.utils.run_dir import make_run_dir, MetricsLogger
 
 
 def main(argv=None):
+    from onpolicy_tpu.utils import compile_cache
+    compile_cache.enable()   # persistent XLA cache (fresh-process recompiles)
     cfg = config_from_args(argv)
     if cfg.share_policy:
         from onpolicy_tpu.runner.shared_runner import SharedRunner as Runner

@@ -103,6 +103,8 @@ def make_env_fns(ns, cfg, n, base_seed, seed_stride=1000):
 
 
 def main(argv=None):
+    from onpolicy_tpu.utils import compile_cache
+    compile_cache.enable()   # persistent XLA cache (fresh-process recompiles)
     ns = parse_args(argv if argv is not None else sys.argv[1:])
     overrides = {k: v for k, v in vars(ns).items()
                  if k in Config.__dataclass_fields__}
