@@ -165,6 +165,39 @@ def _i32(x):
     return jnp.asarray(x, jnp.int32)
 
 
+# ---------------------------------------------------------------------
+# One-hot select/update helpers. A traced-index read (`arr[p]`) or write
+# (`arr.at[p].set(...)`) lowers to a gather/scatter kernel under vmap;
+# on TPU those cost 60-200us each at fleet width even over tiny axes
+# (P=2, H=5, C=5) — the round-5 trace showed them dominating the whole
+# seat round (docs/PROFILE_HANABI.md). The same math as a one-hot
+# where/sum fuses into the surrounding elementwise work.
+# ---------------------------------------------------------------------
+
+def _sel(arr, idx):
+    """arr[idx] along axis 0 for a traced scalar idx (int arrays)."""
+    n = arr.shape[0]
+    oh = (jnp.arange(n) == idx).reshape((n,) + (1,) * (arr.ndim - 1))
+    return jnp.sum(jnp.where(oh, arr, jnp.zeros_like(arr)), axis=0,
+                   dtype=jnp.int32)
+
+
+def _sel_rows(arr, idxs):
+    """arr[idxs] along axis 0 for a traced index VECTOR [K] (ints)."""
+    n = arr.shape[0]
+    oh = idxs[:, None] == jnp.arange(n)[None, :]          # [K, n]
+    ohb = oh.reshape(oh.shape + (1,) * (arr.ndim - 1))
+    return jnp.sum(jnp.where(ohb, arr[None], jnp.zeros_like(arr)[None]),
+                   axis=1, dtype=jnp.int32)
+
+
+def _set_row(arr, idx, row):
+    """arr.at[idx].set(row) along axis 0 for a traced scalar idx."""
+    n = arr.shape[0]
+    oh = (jnp.arange(n) == idx).reshape((n,) + (1,) * (arr.ndim - 1))
+    return jnp.where(oh, jnp.asarray(row, arr.dtype), arr)
+
+
 def reset(game: JaxHanabiGame, key: jax.Array) -> HanabiState:
     """Fresh shuffled game (C++ State::Reset + DealInitialHands)."""
     deck = jax.random.permutation(key, jnp.asarray(game.base_deck()))
@@ -210,15 +243,16 @@ def legal_mask(game: JaxHanabiGame, s: HanabiState) -> jax.Array:
     mtype, slot, target, color, rank = [jnp.asarray(t) for t in
                                         game.move_tables()]
     P = game.players
-    hand_n_cur = s.hand_n[s.cur_player]
+    hand_n_cur = _sel(s.hand_n, s.cur_player)
     # discard: slot < hand size AND info below max
     ok_discard = (slot < hand_n_cur) & (s.info < game.max_info)
     # play: slot < hand size
     ok_play = slot < hand_n_cur
     # reveal: info > 0 AND target holds a matching card
     tgt = (s.cur_player + target) % P
-    tgt_cards = s.hand_card[tgt]                       # [n_moves, H]
-    valid_slot = jnp.arange(game.hand_size)[None, :] < s.hand_n[tgt][:, None]
+    tgt_cards = _sel_rows(s.hand_card, tgt)            # [n_moves, H]
+    valid_slot = jnp.arange(game.hand_size)[None, :] \
+        < _sel_rows(s.hand_n, tgt)[:, None]
     card_color = tgt_cards // game.ranks
     card_rank = tgt_cards % game.ranks
     has_color = jnp.any(valid_slot & (card_color == color[:, None]), axis=1)
@@ -235,7 +269,7 @@ def _remove_and_draw(game: JaxHanabiGame, s: HanabiState, p, slot_idx):
     """Erase slot from player p's hand/knowledge, then draw (C++ erase +
     Draw): slots above shift left; the drawn card lands at the new end."""
     H, C, R = game.hand_size, game.colors, game.ranks
-    n = s.hand_n[p]
+    n = _sel(s.hand_n, p)
     idx = jnp.arange(H)
     nxt = jnp.minimum(idx + 1, H - 1)
 
@@ -243,9 +277,7 @@ def _remove_and_draw(game: JaxHanabiGame, s: HanabiState, p, slot_idx):
         return jnp.where(idx >= slot_idx, row[nxt], row)
 
     can_draw = s.deck_ptr < game.deck_len
-    drawn = jnp.where(can_draw,
-                      s.deck[jnp.minimum(s.deck_ptr, game.deck_len - 1)]
-                      .astype(jnp.int32), -1)
+    drawn = jnp.where(can_draw, _sel(s.deck, s.deck_ptr), -1)
     new_n = n - 1 + can_draw.astype(jnp.int32)
     end = n - 1  # index where the drawn card lands (hand had n cards)
 
@@ -254,16 +286,21 @@ def _remove_and_draw(game: JaxHanabiGame, s: HanabiState, p, slot_idx):
         row = jnp.where(idx == end, jnp.where(can_draw, value, fill), row)
         return jnp.where(idx >= new_n, fill, row)
 
-    hand_card = s.hand_card.at[p].set(
-        place(s.hand_card[p].astype(jnp.int32), drawn, -1).astype(jnp.int8))
-    know_color = s.know_color.at[p].set(
-        place(s.know_color[p], (1 << C) - 1, (1 << C) - 1))
-    know_rank = s.know_rank.at[p].set(
-        place(s.know_rank[p], (1 << R) - 1, (1 << R) - 1))
-    hinted_color = s.hinted_color.at[p].set(
-        place(s.hinted_color[p], -1, -1))
-    hinted_rank = s.hinted_rank.at[p].set(place(s.hinted_rank[p], -1, -1))
-    return s.replace(hand_card=hand_card, hand_n=s.hand_n.at[p].set(new_n),
+    hand_card = _set_row(
+        s.hand_card, p,
+        place(_sel(s.hand_card, p), drawn, -1).astype(jnp.int8))
+    know_color = _set_row(
+        s.know_color, p, place(_sel(s.know_color, p), (1 << C) - 1,
+                               (1 << C) - 1))
+    know_rank = _set_row(
+        s.know_rank, p, place(_sel(s.know_rank, p), (1 << R) - 1,
+                              (1 << R) - 1))
+    hinted_color = _set_row(
+        s.hinted_color, p, place(_sel(s.hinted_color, p), -1, -1))
+    hinted_rank = _set_row(
+        s.hinted_rank, p, place(_sel(s.hinted_rank, p), -1, -1))
+    return s.replace(hand_card=hand_card,
+                     hand_n=_set_row(s.hand_n, p, new_n),
                      know_color=know_color, know_rank=know_rank,
                      hinted_color=hinted_color, hinted_rank=hinted_rank,
                      deck_ptr=s.deck_ptr + can_draw.astype(jnp.int32))
@@ -277,22 +314,25 @@ def step(game: JaxHanabiGame, s: HanabiState, uid: jax.Array
         jnp.asarray(t) for t in game.move_tables()]
     C, R, P, H = game.colors, game.ranks, game.players, game.hand_size
     uid_c = jnp.clip(uid, 0, game.n_moves - 1)
-    legal = legal_mask(game, s)[uid_c] > 0
+    # one one-hot contraction for the uid-indexed tables + legality pick
+    oh_uid = jnp.arange(game.n_moves) == uid_c
+    pick_t = lambda t: jnp.sum(jnp.where(oh_uid, t, 0), dtype=jnp.int32)
+    legal = jnp.sum(jnp.where(oh_uid, legal_mask(game, s), 0.0)) > 0
     do = (uid >= 0) & (~s.terminal) & legal
     before = score(game, s)
 
-    mtype = mtype_t[uid_c]
-    slot = slot_t[uid_c]
-    color = color_t[uid_c]
-    rank = rank_t[uid_c]
-    tgt = (s.cur_player + target_t[uid_c]) % P
+    mtype = pick_t(mtype_t)
+    slot = pick_t(slot_t)
+    color = pick_t(color_t)
+    rank = pick_t(rank_t)
+    tgt = (s.cur_player + pick_t(target_t)) % P
     cur = s.cur_player
 
     # final_countdown decrement at move ENTRY while deck empty
     deck_empty = s.deck_ptr >= game.deck_len
     countdown = s.final_countdown - (do & deck_empty).astype(jnp.int32)
 
-    card = s.hand_card[cur, jnp.clip(slot, 0, H - 1)].astype(jnp.int32)
+    card = _sel(_sel(s.hand_card, cur), jnp.clip(slot, 0, H - 1))
     c_col, c_rank = card // R, card % R
 
     is_discard = do & (mtype == DISCARD)
@@ -302,17 +342,16 @@ def step(game: JaxHanabiGame, s: HanabiState, uid: jax.Array
     is_cardmove = is_discard | is_play
 
     # ---- play resolution ------------------------------------------
-    success = is_play & (s.fireworks[jnp.clip(c_col, 0, C - 1)] == c_rank)
+    oh_col = jnp.arange(C) == jnp.clip(c_col, 0, C - 1)       # [C]
+    oh_rank = jnp.arange(R) == jnp.clip(c_rank, 0, R - 1)     # [R]
+    fw_at_col = jnp.sum(jnp.where(oh_col, s.fireworks, 0), dtype=jnp.int32)
+    success = is_play & (fw_at_col == c_rank)
     top_bonus = success & (c_rank == R - 1) & (s.info < game.max_info)
     misplay = is_play & ~success
 
-    fireworks = jnp.where(
-        success,
-        s.fireworks.at[jnp.clip(c_col, 0, C - 1)].add(1), s.fireworks)
-    discards = s.discards
-    disc_idx = (jnp.clip(c_col, 0, C - 1), jnp.clip(c_rank, 0, R - 1))
-    discards = jnp.where(is_discard | misplay,
-                         discards.at[disc_idx].add(1), discards)
+    fireworks = s.fireworks + jnp.where(success & oh_col, 1, 0)
+    discards = s.discards + jnp.where(
+        (is_discard | misplay) & oh_col[:, None] & oh_rank[None, :], 1, 0)
     info = (s.info
             + is_discard.astype(jnp.int32)
             + top_bonus.astype(jnp.int32)
@@ -327,32 +366,34 @@ def step(game: JaxHanabiGame, s: HanabiState, uid: jax.Array
 
     # ---- hint knowledge updates -----------------------------------
     slots = jnp.arange(H)
-    valid_t = slots < s.hand_n[tgt]
-    t_cards = s.hand_card[tgt].astype(jnp.int32)
+    valid_t = slots < _sel(s.hand_n, tgt)
+    t_cards = _sel(s.hand_card, tgt)
     t_col, t_rank = t_cards // R, t_cards % R
     match_c = valid_t & (t_col == color)
     match_r = valid_t & (t_rank == rank)
 
-    kc_row = s.know_color[tgt]
+    kc_row = _sel(s.know_color, tgt)
     kc_new = jnp.where(match_c, 1 << jnp.clip(color, 0, C - 1),
                        kc_row & ~(1 << jnp.clip(color, 0, C - 1)))
     kc_new = jnp.where(valid_t, kc_new, kc_row)
-    kr_row = s.know_rank[tgt]
+    kr_row = _sel(s.know_rank, tgt)
     kr_new = jnp.where(match_r, 1 << jnp.clip(rank, 0, R - 1),
                        kr_row & ~(1 << jnp.clip(rank, 0, R - 1)))
     kr_new = jnp.where(valid_t, kr_new, kr_row)
-    hc_new = jnp.where(match_c, color, s.hinted_color[tgt])
-    hr_new = jnp.where(match_r, rank, s.hinted_rank[tgt])
+    hc_new = jnp.where(match_c, color, _sel(s.hinted_color, tgt))
+    hr_new = jnp.where(match_r, rank, _sel(s.hinted_rank, tgt))
 
     know_color = jnp.where(is_reveal_c,
-                           s2.know_color.at[tgt].set(kc_new), s2.know_color)
+                           _set_row(s2.know_color, tgt, kc_new),
+                           s2.know_color)
     hinted_color = jnp.where(is_reveal_c,
-                             s2.hinted_color.at[tgt].set(hc_new),
+                             _set_row(s2.hinted_color, tgt, hc_new),
                              s2.hinted_color)
     know_rank = jnp.where(is_reveal_r,
-                          s2.know_rank.at[tgt].set(kr_new), s2.know_rank)
+                          _set_row(s2.know_rank, tgt, kr_new),
+                          s2.know_rank)
     hinted_rank = jnp.where(is_reveal_r,
-                            s2.hinted_rank.at[tgt].set(hr_new),
+                            _set_row(s2.hinted_rank, tgt, hr_new),
                             s2.hinted_rank)
     reveal_mask = jnp.where(
         is_reveal_c, jnp.sum(match_c.astype(jnp.int32) << slots),
@@ -408,12 +449,12 @@ def encode(game: JaxHanabiGame, s: HanabiState, player: jax.Array
     # --- hands: other players' visible cards, relative order ---
     for off in range(1, P):
         q = (player + off) % P
-        cards = s.hand_card[q].astype(jnp.int32)          # [H]
-        valid = (slots < s.hand_n[q]) & (cards >= 0)
+        cards = _sel(s.hand_card, q)                      # [H]
+        valid = (slots < _sel(s.hand_n, q)) & (cards >= 0)
         onehot = jax.nn.one_hot(jnp.clip(cards, 0, CR - 1), CR) \
             * valid[:, None]
         parts.append(onehot.reshape(H * CR))
-    missing = jnp.stack([(s.hand_n[(player + off) % P] < H)
+    missing = jnp.stack([(_sel(s.hand_n, (player + off) % P) < H)
                          for off in range(P)]).astype(jnp.float32)
     parts.append(missing)
 
@@ -479,10 +520,15 @@ def encode(game: JaxHanabiGame, s: HanabiState, player: jax.Array
         rank_bits = jnp.arange(R)
         for off in range(P):
             q = (player + off) % P
+            hand_n_q = _sel(s.hand_n, q)
+            kc_q = _sel(s.know_color, q)            # [H]
+            kr_q = _sel(s.know_rank, q)
+            hc_q = _sel(s.hinted_color, q)
+            hr_q = _sel(s.hinted_rank, q)
             for slot in range(H):
-                in_hand = slot < s.hand_n[q]
-                kc = s.know_color[q, slot]
-                kr = s.know_rank[q, slot]
+                in_hand = slot < hand_n_q
+                kc = kc_q[slot]
+                kr = kr_q[slot]
                 pc = ((kc >> col_bits) & 1).astype(jnp.int32)   # [C]
                 pr = ((kr >> rank_bits) & 1).astype(jnp.int32)  # [R]
                 plaus = pc[:, None] * pr[None, :]                # [C, R]
@@ -490,8 +536,8 @@ def encode(game: JaxHanabiGame, s: HanabiState, player: jax.Array
                 v0 = (plaus > 0) & (count > 0) & (count == total)
                 v0 = v0 & in_hand
                 parts.append(v0.astype(jnp.float32).reshape(CR))
-                hc = s.hinted_color[q, slot]
-                hr = s.hinted_rank[q, slot]
+                hc = hc_q[slot]
+                hr = hr_q[slot]
                 parts.append(jnp.where(
                     (hc >= 0) & in_hand,
                     jax.nn.one_hot(jnp.maximum(hc, 0), C), jnp.zeros(C)))
@@ -507,8 +553,8 @@ def encode_own_hand(game: JaxHanabiGame, s: HanabiState, player: jax.Array
                     ) -> jax.Array:
     C, R, H = game.colors, game.ranks, game.hand_size
     CR = C * R
-    cards = s.hand_card[player].astype(jnp.int32)
-    valid = (jnp.arange(H) < s.hand_n[player]) & (cards >= 0)
+    cards = _sel(s.hand_card, player)
+    valid = (jnp.arange(H) < _sel(s.hand_n, player)) & (cards >= 0)
     onehot = jax.nn.one_hot(jnp.clip(cards, 0, CR - 1), CR) * valid[:, None]
     return onehot.reshape(H * CR).astype(jnp.float32)
 
