@@ -330,6 +330,123 @@ def bench_host_ingestion(n_envs: int = 32, episode_length: int = 50,
         env.close()
 
 
+def bench_host_ingestion_real(n_envs: int = 16, episode_length: int = 20,
+                              rounds: int = 6) -> dict:
+    """REAL external engine (the native C++ Hanabi) through the
+    host-ingestion pool — worker processes + shm blocks + masked
+    choose-resets (`HostVecEnv` protocol "choose" over
+    `HanabiSingleEnv`) — driven by the turn-based host seat round
+    (`HanabiRunner._host_round`), with an RTT-isolated per-phase split.
+    The stub extra above measures the tunnel; here each phase is timed
+    separately so the tunnel cost (act dispatch) is isolated from the
+    pool's real ingestion cost (env step = host-only work).
+    Reference equivalent: `ChooseSubprocVecEnv` of `Hanabi_Env`
+    (`env_wrappers.py:493-575`, `hanabi_runner_forward.py:137-220`)."""
+    import numpy as np
+    from onpolicy_tpu.config import config_from_args
+    from onpolicy_tpu.envs.hanabi.hanabi_env import (HanabiHostPoolEnv,
+                                                     HanabiSingleEnv)
+    from onpolicy_tpu.envs.host_vec import HostVecEnv
+    from onpolicy_tpu.runner.hanabi_runner import HanabiRunner
+
+    M = 2
+    cfg = config_from_args([
+        "--algorithm_name", "mappo", "--scenario_name", "Hanabi-Small",
+        "--num_agents", str(M), "--n_rollout_threads", str(n_envs),
+        "--episode_length", str(episode_length),
+        "--num_env_steps", str(n_envs * episode_length * 10),
+        "--ppo_epoch", "5", "--num_mini_batch", "1",
+        "--hidden_size", "128", "--layer_N", "2",
+    ], env_name="Hanabi")
+    pool = HostVecEnv(
+        [(lambda s=i: HanabiSingleEnv("Hanabi-Small", M, seed=s))
+         for i in range(n_envs)], protocol="choose")
+    env = HanabiHostPoolEnv(pool, M)
+    try:
+        runner = HanabiRunner(cfg, vec_env=env)
+        key = jax.random.PRNGKey(0)
+        ts = runner.algo.init_state(jax.random.fold_in(key, 0))
+        obs, share, avail, cur = env.reset()
+        use, turn = runner._fresh_staging(obs, share, avail)
+
+        # warm compiles (actor + critic) through one full seat round
+        key, _, _ = runner._host_round(ts, turn, use, key)
+
+        # --- end-to-end seat rounds (act + env + staging + critic) ---
+        t0 = time.perf_counter()
+        for _ in range(rounds):
+            key, reset_choose, _ = runner._host_round(ts, turn, use, key)
+            if reset_choose.any():
+                o2, s2, a2, _ = env.reset(reset_choose)
+                use["obs"][reset_choose] = o2[reset_choose]
+                use["share"][reset_choose] = s2[reset_choose]
+                use["avail"][reset_choose] = a2[reset_choose]
+                turn["masks"][reset_choose] = 1.0
+        round_ms = (time.perf_counter() - t0) / rounds * 1e3
+
+        # --- phase: act dispatch (tunnel round trip per seat) ---
+        t0 = time.perf_counter()
+        for i in range(rounds):
+            k = jax.random.fold_in(key, i)
+            out = runner._actor_fn(ts, use["obs"], turn["rnn"][:, 0],
+                                   turn["masks"][:, 0], k, use["avail"])
+            _ = [np.asarray(x) for x in out]
+        act_ms = (time.perf_counter() - t0) / rounds * 1e3
+
+        # --- phase: env step (host-only: shm scatter + engine + gather)
+        t0 = time.perf_counter()
+        for _ in range(rounds):
+            acts = np.full(n_envs, -1, np.int64)
+            for i in range(n_envs):
+                legal = np.nonzero(use["avail"][i] > 0)[0]
+                if legal.size:
+                    acts[i] = legal[0]
+            o, s, r, d, c, a, sc = env.step(acts)
+            if d.any():
+                env.reset(d)
+        env_ms = (time.perf_counter() - t0) / rounds * 1e3
+
+        # --- phase: deferred critic ([N*M] batch, one per round) ---
+        BA = n_envs * M
+        t0 = time.perf_counter()
+        for _ in range(rounds):
+            v, rc = runner._critic_fn(
+                ts, turn["share_obs"].reshape(BA, -1),
+                turn["rnn_critic"].reshape(BA, *turn["rnn_critic"].shape[2:]),
+                np.ones((BA, 1), np.float32))
+            np.asarray(v)
+        critic_ms = (time.perf_counter() - t0) / rounds * 1e3
+
+        # --- phase: train (batched GAE + PPO, once per episode) ---
+        bufnp = runner._alloc_buffer()
+        key, k_train = jax.random.split(key)
+        ts2, m = runner._train_from_numpy(ts, bufnp, k_train)  # compile
+        t0 = time.perf_counter()
+        ts2, m = runner._train_from_numpy(ts, bufnp, k_train)
+        _sync(ts2, m)
+        train_ms = (time.perf_counter() - t0) * 1e3
+
+        staging_ms = round_ms - M * act_ms - M * env_ms - critic_ms
+        ep_s = (episode_length * round_ms + train_ms) / 1e3
+        return {
+            "steps_per_s": round(episode_length * n_envs / ep_s, 1),
+            "config": f"REAL C++ Hanabi engines through HostVecEnv "
+                      f"'choose' pool, {n_envs} workers x T="
+                      f"{episode_length} seat rounds",
+            "round_ms": round(round_ms, 2),
+            "phase_act_dispatch_ms_per_seat": round(act_ms, 2),
+            "phase_env_step_ms_per_seat": round(env_ms, 2),
+            "phase_critic_ms_per_round": round(critic_ms, 2),
+            "phase_staging_residual_ms": round(staging_ms, 2),
+            "phase_train_ms_per_episode": round(train_ms, 1),
+            "note": "act dispatch carries the remote-tunnel RTT; env "
+                    "step is host-only (shm + engine) and shows the "
+                    "pool's true ingestion cost on attached hardware",
+        }
+    finally:
+        env.close()
+
+
 if __name__ == "__main__":
     from onpolicy_tpu.utils import compile_cache
     compile_cache.enable()   # persistent XLA cache across bench runs
@@ -348,4 +465,8 @@ if __name__ == "__main__":
         result["host_ingestion"] = bench_host_ingestion()
     except Exception as e:  # pragma: no cover
         result["host_ingestion"] = {"error": repr(e)[:200]}
+    try:
+        result["host_ingestion_real"] = bench_host_ingestion_real()
+    except Exception as e:  # pragma: no cover
+        result["host_ingestion_real"] = {"error": repr(e)[:200]}
     print(json.dumps(result))

@@ -106,3 +106,82 @@ class HanabiVecEnv:
 
     def close(self):
         self.batch.close()
+
+
+class HanabiSingleEnv:
+    """ONE Hanabi game over the native engine, presenting the reference
+    per-env Choose contract (`Hanabi_Env.py:188-505`): `reset()` →
+    (obs, share_obs, available_actions); `step(a)` → (obs, share_obs,
+    rewards [M,1], dones [M], info, avail). This is the env the
+    host-ingestion pool (`HostVecEnv` protocol "choose" — the
+    `ChooseSubprocVecEnv` family, `env_wrappers.py:493-575`) runs in its
+    worker processes, i.e. a REAL external engine behind the pool."""
+
+    def __init__(self, hanabi_name: str, num_agents: int, seed: int = 0,
+                 use_obs_instead_of_state: bool = False):
+        self._vec = HanabiVecEnv(
+            hanabi_name, num_agents, 1, seed=seed,
+            use_obs_instead_of_state=use_obs_instead_of_state)
+        self.num_agents = num_agents
+        self.observation_space = self._vec.observation_space
+        self.share_observation_space = self._vec.share_observation_space
+        self.action_space = self._vec.action_space
+
+    def reset(self):
+        obs, share, avail, cur = self._vec.reset()
+        return obs[0], share[0], avail[0]
+
+    def step(self, action):
+        # pool workers hand the [M, act_dim] slice of the action block;
+        # the turn-based protocol uses one action per env (the current
+        # seat's), so every row carries the same value
+        a = int(np.asarray(action).reshape(-1)[0])
+        obs, share, rewards, done, cur, avail, score = self._vec.step(
+            np.asarray([a], np.int64))
+        info = {"score": int(score[0])}
+        dones = np.full((self.num_agents,), bool(done[0]))
+        return obs[0], share[0], rewards[0], dones, info, avail[0]
+
+    def close(self):
+        self._vec.close()
+
+
+class HanabiHostPoolEnv:
+    """`HanabiVecEnv`-protocol facade over a pool of per-env native
+    engines — the reference's actual Hanabi data path
+    (`ChooseSubprocVecEnv` of `Hanabi_Env`, `train_hanabi_forward.py:
+    25-47`) driven through the shm host-ingestion pool. `pool` is a
+    HostVecEnv/DummyVecEnv with protocol "choose" whose envs are
+    `HanabiSingleEnv`s. The current player is recovered from the
+    agent-turn one-hot tail of obs; scores ride the step infos."""
+
+    def __init__(self, pool, num_agents: int):
+        self.pool = pool
+        self.n_envs = pool.n_envs
+        self.num_agents = num_agents
+        self.observation_space = pool.observation_space
+        self.share_observation_space = pool.share_observation_space
+        self.action_space = pool.action_space
+        self.obs_dim = self.observation_space[0].shape[0]
+        self.share_dim = self.share_observation_space[0].shape[0]
+        self.n_moves = self.action_space[0].n
+        self._last_score = np.zeros(self.n_envs, np.float32)
+
+    def _cur(self, obs):
+        turn = obs[:, -self.num_agents:]
+        return np.argmax(turn, axis=1).astype(np.int32)
+
+    def reset(self, reset_choose: Optional[np.ndarray] = None):
+        obs, share, avail = self.pool.reset(reset_choose)
+        return obs, share, avail, self._cur(obs)
+
+    def step(self, actions: np.ndarray):
+        acts = np.repeat(np.asarray(actions, np.float32)[:, None, None],
+                         self.num_agents, axis=1)
+        obs, share, rewards, dones, infos, avail = self.pool.step(acts)
+        score = np.asarray([i.get("score", 0) for i in infos], np.float32)
+        done = np.asarray(dones)[:, 0].astype(bool)
+        return obs, share, rewards, done, self._cur(obs), avail, score
+
+    def close(self):
+        self.pool.close()
