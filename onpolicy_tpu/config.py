@@ -278,8 +278,17 @@ def _coerce_sweep_value(name, value):
         return _parse_ints(value) if isinstance(value, str) \
             else tuple(int(x) for x in value)
     default = Config.__dataclass_fields__[name].default
-    if default is not dataclasses.MISSING and default is not None \
-            and isinstance(value, str):
+    if default is dataclasses.MISSING or default is None:
+        return value
+    # coerce yaml-native wrong-typed numerics too (float 64.0 for an
+    # int field), and parse scientific-notation strings ('1e5') for
+    # int fields — type(default)('1e5') would raise (ADVICE round 4)
+    if isinstance(default, int) and not isinstance(default, bool) \
+            and isinstance(value, (str, int, float)):
+        return int(float(value))
+    if isinstance(default, float) and isinstance(value, (str, int, float)):
+        return float(value)
+    if isinstance(value, str):
         return type(default)(value)
     return value
 

@@ -72,10 +72,12 @@ class HanabiRunner:
         # sequential network stacks, 2× the critic matmul batch; the
         # round-3 profile named this lever, docs/PROFILE_HANABI.md).
         # NOTE: read at FIRST TRACE of _actor_fn/_device_round — set it
-        # before any collection call (toggling later is a no-op: the
-        # jitted trace baked the value in). Tests set it right after
+        # before any collection call; the property setter enforces this
+        # (a post-trace toggle would be a silent no-op: the jitted
+        # trace baked the value in). Tests set it right after
         # construction.
-        self._det_collect = False     # tests force deterministic actions
+        self.__det_collect = False    # tests force deterministic actions
+        self._collect_traced = False  # flipped at first _actor_step trace
         self._actor_fn = jax.jit(self._actor_step)
         self._critic_fn = jax.jit(self._critic_batch)
         self._act_det = jax.jit(lambda st, o, r, m, k, av: self.algo.act(
@@ -83,12 +85,26 @@ class HanabiRunner:
         self._train_fn = jax.jit(self._compute_and_train)
         self.true_total_num_steps = 0
 
+    @property
+    def _det_collect(self) -> bool:
+        return self.__det_collect
+
+    @_det_collect.setter
+    def _det_collect(self, value: bool):
+        if self._collect_traced and value != self.__det_collect:
+            raise RuntimeError(
+                "_det_collect is baked into the jitted collection trace; "
+                "set it before the first collection call")
+        self.__det_collect = value
+
     def _actor_step(self, train_state, obs, rnn, masks, key, avail):
         """Actor-only seat step (critic deferred — see _host_round /
-        _device_round tail)."""
+        _device_round tail). The side effect below runs at TRACE time,
+        recording that _det_collect is now frozen."""
+        self._collect_traced = True
         return self.algo.actor.forward(
             train_state.actor_params, obs, rnn, masks, key, avail,
-            self._det_collect)
+            self.__det_collect)
 
     def _critic_batch(self, train_state, share, rnn_c, masks):
         return self.algo.critic.forward(train_state.critic_params, share,

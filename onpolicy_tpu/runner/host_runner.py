@@ -269,10 +269,13 @@ class HostSharedRunner:
         BA = N * M
         eval_episodes = eval_episodes or cfg.eval_episodes
         key = key if key is not None else jax.random.PRNGKey(cfg.seed + 50000)
-        # multi-host: act on the process-local param copy (host_mesh)
+        # multi-host: act on a process-local copy of the CALLER'S state
+        # (deriving it here, not substituting the cached post-train
+        # _act_ts, so evaluating a restored/older state uses that state
+        # — ADVICE round 4)
         if self.mesh is not None and jax.process_count() > 1:
-            act_ts = getattr(self, "_act_ts", None)
-            train_state = act_ts if act_ts is not None else train_state
+            from onpolicy_tpu.runner import host_mesh
+            train_state = host_mesh.act_state(self.mesh, train_state)
         out = env.reset()
         if isinstance(out, tuple) and len(out) == 3:
             obs, _, avail = out

@@ -13,12 +13,20 @@ No reference analogue (torch eager has no compile step to cache).
 """
 from __future__ import annotations
 
+import logging
 import os
 
+log = logging.getLogger(__name__)
 
-def enable(cache_dir: str | None = None) -> None:
+
+def enable(cache_dir: str | None = None) -> bool:
+    """Point jax at a persistent compilation cache; returns True when
+    the cache is active. The cache is an optimization, never a failure
+    mode — an unusable location logs a warning and returns False
+    instead of raising (round-4 VERDICT weak 3: the old blanket
+    `except: pass` made enable-failures invisible)."""
     if os.environ.get("ONPOLICY_TPU_NO_COMPILE_CACHE"):
-        return
+        return False
     import jax
 
     path = (cache_dir
@@ -27,9 +35,16 @@ def enable(cache_dir: str | None = None) -> None:
                 os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
     try:
         os.makedirs(path, exist_ok=True)
+    except OSError as e:
+        log.warning("compile cache disabled: cannot create %s (%s)",
+                    path, e)
+        return False
+    try:
         jax.config.update("jax_compilation_cache_dir", path)
         # cache everything — the tunnel makes even small compiles slow
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    except Exception:
-        pass  # cache is an optimization, never a failure mode
+    except Exception as e:  # unknown config name on an old jax, etc.
+        log.warning("compile cache disabled: jax config rejected (%s)", e)
+        return False
+    return True

@@ -211,3 +211,19 @@ def test_host_round_break_zeroes_future_values():
     # visited them (all envs dead -> break at seat 1)
     np.testing.assert_array_equal(turn["values"][:, 1:], 0.0)
     np.testing.assert_array_equal(turn["rnn_critic"], 0.0)
+
+
+def test_det_collect_frozen_after_trace():
+    """ADVICE round 4: _det_collect is baked into the jitted collection
+    trace — toggling it afterwards must raise, not silently no-op."""
+    import pytest
+    runner = _make_runner()
+    runner._det_collect = True          # before any trace: fine
+    runner._det_collect = False
+    ts, carry, dbuf = runner.init_device(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    carry, aux = jax.jit(runner._device_round)(ts, carry, key)
+    jax.block_until_ready(aux["reset_choose"])
+    runner._det_collect = False         # same value: allowed
+    with pytest.raises(RuntimeError, match="baked into"):
+        runner._det_collect = True

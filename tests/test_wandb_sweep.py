@@ -76,3 +76,18 @@ def test_sweep_init_via_env(monkeypatch):
     monkeypatch.setenv("WANDB_SWEEP_ID", "abc123")
     out = apply_wandb_sweep(Config(use_wandb=True, seed=1))
     assert out.seed == 42
+
+
+def test_yaml_native_wrong_typed_numerics_coerced(monkeypatch):
+    """ADVICE round 4: a yaml-native float for an int field (64.0 for
+    hidden_size) and scientific-notation strings for int fields ('1e5'
+    for num_env_steps) must coerce to real ints, not pass through or
+    raise."""
+    _stub_wandb(monkeypatch, {"hidden_size": 64.0, "num_env_steps": "1e5",
+                              "lr": "5e-4", "ppo_epoch": 10.0})
+    cfg = apply_wandb_sweep(Config(use_wandb=True))
+    assert cfg.hidden_size == 64 and isinstance(cfg.hidden_size, int)
+    assert cfg.num_env_steps == 100000 \
+        and isinstance(cfg.num_env_steps, int)
+    assert cfg.lr == pytest.approx(5e-4) and isinstance(cfg.lr, float)
+    assert cfg.ppo_epoch == 10 and isinstance(cfg.ppo_epoch, int)
