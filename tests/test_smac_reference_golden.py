@@ -325,3 +325,138 @@ def test_avail_actions_executed_reference(ref_cls):
         if i == 1:
             continue
         assert av[i, 0] == 0 and av[i, 1] == 1    # alive: no-op off, stop on
+
+
+# ---------------------------------------------------------------------------
+# Round-5 VERDICT item 8: the last two delegated behaviors — last-action
+# TRACKING across reset/steps, and the stacked-frames path — pinned by
+# executing the reference's own code (methods for obs/state; the inline
+# bookkeeping blocks extracted verbatim from the reference source and
+# exec'd, so line drift cannot silently detach the golden).
+# ---------------------------------------------------------------------------
+
+def _extract_block(fn, marker):
+    """The verbatim suite of the reference source line containing
+    `marker` (the line plus its indented block), dedented for exec."""
+    import inspect
+    import textwrap
+    lines = textwrap.dedent(inspect.getsource(fn)).splitlines()
+    i = next(k for k, l in enumerate(lines) if marker in l)
+    indent = len(lines[i]) - len(lines[i].lstrip())
+    block = [lines[i]]
+    for l in lines[i + 1:]:
+        if l.strip() and (len(l) - len(l.lstrip())) <= indent:
+            break
+        block.append(l)
+    return textwrap.dedent("\n".join(block))
+
+
+def test_last_action_tracking_executed_reference(ref_cls):
+    """Tracking dynamics (`StarCraft2_Env.py:400` reset zeroing, `:464`
+    one-hot bookkeeping at step): execute the reference's own lines on
+    the stub across a reset + 3 steps, re-running the real
+    get_obs_agent/get_state_agent after every update; our snapshot
+    update (eye[actions], the contract snapshot_from_smac relies on the
+    live engine for) must reproduce obs AND state array-for-array."""
+    env = make_stub(ref_cls, "stalkers_and_zealots", 11)
+    cfg = _cfg_from_stub(env)
+    reset_line = _extract_block(ref_cls.reset, "self.last_action = np.zeros")
+    step_line = _extract_block(ref_cls.step, "self.last_action = np.eye")
+    rng = np.random.default_rng(0)
+
+    def check():
+        snap = snapshot_from_smac(env)   # forwards env.last_action
+        for i in range(env.n_agents):
+            np.testing.assert_allclose(
+                ob.agent_obs(cfg, snap, i),
+                np.asarray(env.get_obs_agent(i), np.float32), atol=1e-6)
+            np.testing.assert_allclose(
+                sb.agent_specific_state(cfg, snap, i),
+                np.asarray(env.get_state_agent(i), np.float32), atol=1e-6)
+
+    exec(reset_line, {"np": np}, {"self": env})
+    assert (env.last_action == 0).all()
+    check()
+    for _ in range(3):
+        actions_int = [int(a) for a in
+                       rng.integers(0, env.n_actions, env.n_agents)]
+        exec(step_line, {"np": np},
+             {"self": env, "actions_int": actions_int})
+        np.testing.assert_array_equal(
+            env.last_action, np.eye(env.n_actions)[np.array(actions_int)])
+        check()
+
+
+def test_stacked_frames_executed_reference(ref_cls):
+    """Stacked-frames path (`StarCraft2_Env.py:325-327` zero-init once,
+    `:427-435` reset pushes, `:605-613` roll(+1)+write-at-[-1], never
+    cleared): execute the reference's own stacked block over a
+    random frame sequence spanning an episode boundary; the
+    StackedFrames wrapper must match bit-for-bit."""
+    from onpolicy_tpu.envs.wrappers import StackedFrames
+    from onpolicy_tpu.utils import spaces as sp
+
+    M, K, DO, DS, T = 3, 4, 5, 7, 6
+    rng = np.random.default_rng(3)
+    frames = [(rng.normal(size=(M, DO)).astype(np.float32),
+               rng.normal(size=(M, DS)).astype(np.float32))
+              for _ in range(2 * T + 2)]
+
+    # --- reference side: init (:325-327) + the step block (:605-613,
+    # identical to the reset block :427-435) executed verbatim ---
+    env = make_stub(ref_cls, "marines", 0)
+    env.use_stacked_frames = True
+    env.stacked_frames = K
+    env.n_agents = M
+    env.stacked_local_obs = np.zeros((M, K, DO), dtype=np.float32)
+    env.stacked_global_state = np.zeros((M, K, DS), dtype=np.float32)
+    block = _extract_block(ref_cls.step, "if self.use_stacked_frames:")
+
+    def ref_push(lo, gs):
+        ns = {"self": env, "local_obs": lo, "global_state": gs}
+        exec(block, {"np": np}, ns)
+        return ns["local_obs"], ns["global_state"]
+
+    # --- our side: the wrapper over a scripted share-protocol env ---
+    class Scripted:
+        def __init__(self):
+            self.num_agents = M
+            self.observation_space = [sp.Box((DO,))] * M
+            self.share_observation_space = [sp.Box((DS,))] * M
+            self.action_space = [sp.Discrete(4)] * M
+            self.t = -1
+
+        def reset(self):
+            self.t += 1
+            o, s = frames[self.t]
+            return o, s, np.ones((M, 4), np.float32)
+
+        def step(self, a):
+            self.t += 1
+            o, s = frames[self.t]
+            done = np.full(M, self.t % T == T - 1)
+            return o, s, np.zeros((M, 1), np.float32), done, [{}] * M, \
+                np.ones((M, 4), np.float32)
+
+        def close(self):
+            pass
+
+    wrapped = StackedFrames(Scripted(), k=K)
+    t = 0
+    o, s, _ = wrapped.reset()
+    ro, rs = ref_push(*frames[t])
+    np.testing.assert_array_equal(o, ro)
+    np.testing.assert_array_equal(s, rs)
+    for ep in range(2):
+        for _ in range(T - 1 if ep == 0 else T):
+            t += 1
+            o, s, *_ = wrapped.step(np.zeros((M, 1)))
+            ro, rs = ref_push(*frames[t])
+            np.testing.assert_array_equal(o, ro)
+            np.testing.assert_array_equal(s, rs)
+        # episode boundary: reference reset() pushes without clearing
+        t += 1
+        o, s, _ = wrapped.reset()
+        ro, rs = ref_push(*frames[t])
+        np.testing.assert_array_equal(o, ro)
+        np.testing.assert_array_equal(s, rs)

@@ -5,21 +5,31 @@ from onpolicy_tpu.envs.wrappers import StackedFrames
 from tests.test_host_vec import MockSmacEnv
 
 
-def test_stacking_and_reset_padding():
+def test_stacking_reference_roll_layout():
+    """Reference layout (`StarCraft2_Env.py:605-613`): every push is
+    roll(+1) + write newest at [-1] ⇒ flattened
+    [f_{t-1} | f_{t-2} | ... | f_t], zero-init once, reset() also
+    pushes."""
     env = StackedFrames(MockSmacEnv(), k=3)
-    obs, share, avail = env.reset()
+    obs, share, avail = env.reset()          # buf [0, 0, o0]
     assert obs.shape == (3, 8 * 3)
-    # first frames zero-padded; last slot is the t=0 obs (all zeros here)
     np.testing.assert_array_equal(obs[:, :16], 0)
     a = np.zeros((3, 1))
-    obs, share, rew, dones, infos, avail = env.step(a)
-    # last slot holds t=1 obs (value 1), middle t=0 (0), first pad (0)
+    obs, share, rew, dones, infos, avail = env.step(a)   # [o0, 0, o1]
     assert (obs[:, -8:] == 1).all()
-    assert (obs[:, 8:16] == 0).all()
-    obs, *_ = env.step(a)
+    assert (obs[:, :8] == 0).all() and (obs[:, 8:16] == 0).all()
+    obs, *_ = env.step(a)                    # [o1, o0, o2]
     assert (obs[:, -8:] == 2).all()
-    assert (obs[:, 8:16] == 1).all()
+    assert (obs[:, :8] == 1).all() and (obs[:, 8:16] == 0).all()
+    obs, *_ = env.step(a)                    # [o2, o1, o3]
+    assert (obs[:, -8:] == 3).all()
+    assert (obs[:, :8] == 2).all() and (obs[:, 8:16] == 1).all()
     assert env.observation_space[0].shape == (24,)
+    # episode boundary: buffers are NOT cleared (reference quirk) —
+    # a reset rolls the old frames and appends the fresh obs
+    obs, share, avail = env.reset()          # [o3, o2, o_reset]
+    assert (obs[:, :8] == 3).all() and (obs[:, 8:16] == 2).all()
+    assert (obs[:, -8:] == 0).all()          # MockSmacEnv resets t=0
     env.close()
 
 
