@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _b_tile(H: int, streams: int = 9) -> int:
+def _b_tile(H: int, streams: int = 9, itemsize: int = 4) -> int:
     """Batch-tile rows per grid program: as many rows as keep the
     per-program double-buffered sequence streams + weight-class blocks
     within a ~12MB VMEM budget (16MB/core minus headroom), floor 128.
@@ -50,10 +50,13 @@ def _b_tile(H: int, streams: int = 9) -> int:
     in (3H²) + dW output accumulators (3H², VMEM-resident across the
     whole grid via their constant index map) + biases — which is what
     previously OOMed at H=512 with the 256-row floor (round-3 item:
-    256×9 streams + separate dW scratch ≈ 19.5M > 16M)."""
+    256×9 streams + separate dW scratch ≈ 19.5M > 16M).
+
+    `itemsize` is the SEQUENCE-stream element size (2 under the bf16
+    path — weights/accumulators stay f32)."""
     budget = 12 * 1024 * 1024
     weights = 6 * H * H * 4 + 16 * H * 4
-    per_row = streams * max(H, 128) * 4 * 2     # double-buffered blocks
+    per_row = streams * max(H, 128) * itemsize * 2   # double-buffered
     rows = max(128, (budget - weights) // per_row)
     return min(1024, (rows // 128) * 128)
 
@@ -81,12 +84,15 @@ def _dotT_lhs(a, b):
 
 
 def _gates(gir, giz, gin, hm, wr_ref, wz_ref, wn_ref, bhh_ref):
+    # sequence streams may arrive bf16 (the bf16 path halves their
+    # HBM/VMEM traffic); gate math always accumulates in f32
+    f32 = jnp.float32
     ghr = _dot(hm, wr_ref[:]) + bhh_ref[0:1, :]
     ghz = _dot(hm, wz_ref[:]) + bhh_ref[1:2, :]
     ghn = _dot(hm, wn_ref[:]) + bhh_ref[2:3, :]
-    r = jax.nn.sigmoid(gir + ghr)
-    z = jax.nn.sigmoid(giz + ghz)
-    n = jnp.tanh(gin + r * ghn)
+    r = jax.nn.sigmoid(gir.astype(f32) + ghr)
+    z = jax.nn.sigmoid(giz.astype(f32) + ghz)
+    n = jnp.tanh(gin.astype(f32) + r * ghn)
     return r, z, n, ghn
 
 
@@ -109,18 +115,19 @@ def _fwd_kernel(gir_ref, giz_ref, gin_ref, m_ref, h0_ref,
                         wr_ref, wz_ref, wn_ref, bhh_ref)
     h = (1.0 - z) * n + z * hm
     h_scr[:] = h
-    oh_ref[0] = h
+    oh_ref[0] = h.astype(oh_ref.dtype)
     hT_ref[:] = h
 
 
 def _fwd_call(gir, giz, gin, h0, masks, wr, wz, wn, bhh):
     T, B, H = gir.shape
+    sd = gir.dtype                      # sequence-stream dtype (f32|bf16)
     # SAME tile as `sequence`'s padding and `_bwd_call` — round-3 bug:
     # the fwd previously picked a streams=5 tile that disagreed with
     # the streams=9 padding tile at H=256 (1024 vs 512), making
     # nb = B // B_TILE zero/truncated so the kernel never wrote (the
     # compiled-mode divergence found in the on-chip A/B)
-    B_TILE = _b_tile(H)
+    B_TILE = _b_tile(H, itemsize=sd.itemsize)
     assert B % B_TILE == 0, (B, B_TILE)
     nb = B // B_TILE
     t_spec = pl.BlockSpec((1, B_TILE, H), lambda b, t: (t, b, 0),
@@ -139,7 +146,7 @@ def _fwd_call(gir, giz, gin, h0, masks, wr, wz, wn, bhh):
         in_specs=[t_spec, t_spec, t_spec, m_spec, b_spec,
                   w_spec, w_spec, w_spec, bias_spec],
         out_specs=(t_spec, b_spec),
-        out_shape=(jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((T, B, H), sd),
                    jax.ShapeDtypeStruct((B, H), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((B_TILE, H), jnp.float32)],
         interpret=_interpret(),
@@ -190,9 +197,9 @@ def _bwd_kernel(gir_ref, giz_ref, gin_ref, hp_ref, m_ref, do_ref, dhT_ref,
         + _dotT_rhs(dz_pre, wz_ref[:]) + _dotT_rhs(dghn, wn_ref[:])
     dh_scr[:] = d_hm * m
 
-    dgir_ref[0] = dr_pre
-    dgiz_ref[0] = dz_pre
-    dgin_ref[0] = dn_pre
+    dgir_ref[0] = dr_pre.astype(dgir_ref.dtype)
+    dgiz_ref[0] = dz_pre.astype(dgiz_ref.dtype)
+    dgin_ref[0] = dn_pre.astype(dgin_ref.dtype)
 
     dwr_ref[:] = dwr_ref[:] + _dotT_lhs(hm, dr_pre)
     dwz_ref[:] = dwz_ref[:] + _dotT_lhs(hm, dz_pre)
@@ -211,7 +218,8 @@ def _bwd_kernel(gir_ref, giz_ref, gin_ref, hp_ref, m_ref, do_ref, dhT_ref,
 
 def _bwd_call(gir, giz, gin, hprev, masks, douts, dhT, wr, wz, wn, bhh):
     T, B, H = gir.shape
-    B_TILE = _b_tile(H)               # 6 seq in + 3 seq out
+    sd = gir.dtype
+    B_TILE = _b_tile(H, itemsize=sd.itemsize)   # 6 seq in + 3 seq out
     assert B % B_TILE == 0, (B, B_TILE)
     nb = B // B_TILE
     # reverse-time index maps: grid step t reads actual time T-1-t
@@ -225,7 +233,7 @@ def _bwd_call(gir, giz, gin, hprev, masks, douts, dhT, wr, wz, wn, bhh):
                           memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((3, H), lambda b, t: (0, 0),
                              memory_space=pltpu.VMEM)
-    seq = jax.ShapeDtypeStruct((T, B, H), jnp.float32)
+    seq = jax.ShapeDtypeStruct((T, B, H), sd)
     return pl.pallas_call(
         _bwd_kernel,
         grid=(nb, T),
@@ -268,7 +276,8 @@ def _layer_fwd(gir, giz, gin, h0, masks, wr, wz, wn, bhh):
 def _layer_bwd(res, cts):
     gir, giz, gin, outs, h0, masks, wr, wz, wn, bhh = res
     douts, dhT = cts
-    hprev = jnp.concatenate([h0[None], outs[:-1]], axis=0)
+    hprev = jnp.concatenate([h0[None].astype(outs.dtype), outs[:-1]],
+                            axis=0)
     dgir, dgiz, dgin, dh0, dwr, dwz, dwn, dbhh = _bwd_call(
         gir, giz, gin, hprev, masks, douts, dhT, wr, wz, wn, bhh)
     return (dgir, dgiz, dgin, dh0, jnp.zeros_like(masks),
@@ -298,10 +307,16 @@ def sequence(cfg, params, xs: jax.Array, hxs: jax.Array, masks: jax.Array):
 
     T, B, _ = xs.shape
     H = cfg.hidden_size
-    bt = _b_tile(H)
+    # bf16 path (cfg.use_bf16): the big [T, B, H] sequence streams
+    # (gi in, outs out, and their cotangents) move in bf16 — they are
+    # the HBM-bandwidth term — while the hidden scratch, weights, and
+    # dW/db accumulators stay f32 (a bf16 grid-accumulated dW would
+    # lose precision). Gate math accumulates in f32 either way.
+    sd = cm.compute_dtype(cfg)
+    bt = _b_tile(H, itemsize=jnp.dtype(sd).itemsize)
     B_pad = -(-B // bt) * bt
     m = _pad_b(masks.astype(jnp.float32), B_pad, 1)
-    inp = _pad_b(xs.astype(jnp.float32), B_pad, 1)
+    inp = _pad_b(xs.astype(sd), B_pad, 1)
     h0s = _pad_b(hxs.astype(jnp.float32), B_pad, 0)
     finals = []
     for i, layer in enumerate(params["layers"]):
@@ -309,7 +324,8 @@ def sequence(cfg, params, xs: jax.Array, hxs: jax.Array, masks: jax.Array):
         # after): slicing a materialized [T, B, 3H] costs two full HBM
         # passes over it, which dominates at large H
         flat = inp.reshape(T * B_pad, -1)
-        wi, bi = layer["w_ih"], layer["b_ih"]
+        wi = layer["w_ih"].astype(sd)
+        bi = layer["b_ih"].astype(sd)
         gir = (flat @ wi[:, :H] + bi[:H]).reshape(T, B_pad, H)
         giz = (flat @ wi[:, H:2 * H] + bi[H:2 * H]).reshape(T, B_pad, H)
         gin = (flat @ wi[:, 2 * H:] + bi[2 * H:]).reshape(T, B_pad, H)
@@ -320,5 +336,6 @@ def sequence(cfg, params, xs: jax.Array, hxs: jax.Array, masks: jax.Array):
                                       wr, wz, wn, bhh)
         finals.append(hT[:B])
         inp = outs
-    out = cm.layer_norm_apply(params["norm"], inp[:, :B])
+    out = cm.layer_norm_apply(cm.cast_floats(params["norm"], sd),
+                              inp[:, :B])
     return out, jnp.stack(finals, axis=1)

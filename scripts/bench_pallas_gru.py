@@ -43,11 +43,19 @@ def bench(fn, args, iters=20):
 
 
 def main():
-    print("backend:", jax.default_backend())
-    for (T, B, D, H) in [(10, 960, 54, 64), (10, 4096, 54, 64),
-                         (10, 2048, 256, 256),
-                         (10, 2048, 512, 512), (10, 8192, 512, 512)]:
-        cfg = Config(hidden_size=H, recurrent_N=1)
+    # --bf16: A/B the bf16 kernel path vs the bf16 scan (round-5; the
+    # numerics cross-check loosens to bf16 noise — the two paths round
+    # differently by design, tests/test_pallas_gru.py pins accuracy)
+    use_bf16 = "--bf16" in sys.argv
+    print("backend:", jax.default_backend(), "bf16:", use_bf16)
+    shapes = [(10, 960, 54, 64), (10, 4096, 54, 64),
+              (10, 2048, 256, 256),
+              (10, 2048, 512, 512), (10, 8192, 512, 512)]
+    if use_bf16:
+        shapes = [(10, 2048, 256, 256), (10, 2048, 512, 512),
+                  (10, 8192, 512, 512)]
+    for (T, B, D, H) in shapes:
+        cfg = Config(hidden_size=H, recurrent_N=1, use_bf16=use_bf16)
         key = jax.random.PRNGKey(0)
         params = gru.init(key, cfg, D)
         xs = jax.random.normal(key, (T, B, D), jnp.float32)
@@ -58,6 +66,7 @@ def main():
         def loss(params, use_pallas):
             c = cfg.replace(use_pallas_gru=use_pallas)
             outs, hT = gru.sequence(c, params, xs, hxs, masks)
+            outs = outs.astype(jnp.float32)
             return jnp.sum(outs * outs) + jnp.sum(hT)
 
         fwd_scan = jax.jit(lambda p: loss(p, False))
@@ -67,13 +76,17 @@ def main():
 
         # numerics check on-device
         import numpy as np
+        ftol = 3e-2 if use_bf16 else 2e-3
         np.testing.assert_allclose(fwd_pl(params), fwd_scan(params),
-                                   rtol=2e-3)
+                                   rtol=ftol)
         a = jax.tree_util.tree_leaves(g_pl(params))
         b = jax.tree_util.tree_leaves(g_scan(params))
+        gtol = 2e-1 if use_bf16 else 2e-2
         for x, y in zip(a, b):
-            # f32 reduction-order differences on the big dW sums
-            np.testing.assert_allclose(x, y, rtol=2e-2, atol=2e-2)
+            # f32: reduction-order differences on the big dW sums;
+            # bf16: the paths round differently (kernel carries h f32)
+            np.testing.assert_allclose(np.float32(x), np.float32(y),
+                                       rtol=gtol, atol=gtol)
 
         t_fs = bench(fwd_scan, (params,))
         t_fp = bench(fwd_pl, (params,))

@@ -47,7 +47,83 @@ def timed(label, fn, *args, reps=3, **kw):
     return out, best
 
 
+def fused_variant(n_envs=16384, bf16=True):
+    """Round-4 VERDICT item 7: measure the ONE asserted-not-measured
+    line of docs/PROFILE_RMAPPO.md — a single scan carrying BOTH the
+    actor and critic hidden states over the same [L, B] sequence vs the
+    shipped two-scan path, at the rmappo minibatch GRU shape
+    ([L=10, B=T·N·M/L, H=64]). Grad-step time of sum-of-outputs loss."""
+    from onpolicy_tpu.config import config_from_args
+    from onpolicy_tpu.models import common as cm
+    from onpolicy_tpu.models import gru
+
+    T, L, M = 25, 10, 3
+    B = T * n_envs * M // L
+    H = 64
+    cfg = config_from_args([
+        "--algorithm_name", "rmappo", "--hidden_size", str(H),
+        "--recurrent_N", "1", "--data_chunk_length", str(L),
+    ] + (["--use_bf16"] if bf16 else []))
+    key = jax.random.PRNGKey(0)
+    ka, kc, kx = jax.random.split(key, 3)
+    pa = gru.init(ka, cfg, H)
+    pc = gru.init(kc, cfg, H)
+    xa = jax.random.normal(kx, (L, B, H), jnp.float32)
+    xc = xa * 0.5 + 1.0
+    h0 = jnp.zeros((B, cfg.recurrent_N, H), jnp.float32)
+    masks = jnp.ones((L, B, 1), jnp.float32)
+    print(f"fused-variant shapes: [L={L}, B={B}, H={H}] bf16={bf16}")
+
+    def two_scan_loss(params):
+        pa_, pc_ = params
+        oa, _ = gru.sequence(cfg, pa_, xa, h0, masks)
+        oc, _ = gru.sequence(cfg, pc_, xc, h0, masks)
+        return jnp.sum(oa.astype(jnp.float32)) \
+            + jnp.sum(oc.astype(jnp.float32))
+
+    def fused_loss(params):
+        pa_, pc_ = params
+        dt = cm.compute_dtype(cfg)
+        pa_ = cm.cast_floats(pa_, dt)
+        pc_ = cm.cast_floats(pc_, dt)
+
+        def body(carry, xm):
+            ha, hc = carry
+            xa_t, xc_t, m = xm
+            g = m[..., None].astype(dt)
+            ha = ha * g
+            hc = hc * g
+            na, nc = [], []
+            ia, ic = xa_t.astype(dt), xc_t.astype(dt)
+            for i in range(cfg.recurrent_N):
+                hia = gru._cell(pa_["layers"][i], ia, ha[:, i])
+                hic = gru._cell(pc_["layers"][i], ic, hc[:, i])
+                na.append(hia)
+                nc.append(hic)
+                ia, ic = hia, hic
+            return (jnp.stack(na, 1), jnp.stack(nc, 1)), (ia, ic)
+
+        (_, _), (oa, oc) = jax.lax.scan(
+            body, (h0.astype(dt), h0.astype(dt)), (xa, xc, masks))
+        oa = cm.layer_norm_apply(pa_["norm"], oa)
+        oc = cm.layer_norm_apply(pc_["norm"], oc)
+        return jnp.sum(oa.astype(jnp.float32)) \
+            + jnp.sum(oc.astype(jnp.float32))
+
+    g2 = jax.jit(jax.grad(two_scan_loss))
+    gf = jax.jit(jax.grad(fused_loss))
+    _, t2 = timed("two-scan grad (shipped)", g2, (pa, pc))
+    _, tf = timed("fused-scan grad", gf, (pa, pc))
+    print(f"fused/two-scan ratio: {tf / t2:.3f} "
+          f"({'WIN' if tf < t2 else 'LOSS'} for fusion)")
+
+
 def main():
+    if "--fused" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--fused"]
+        n_envs = int(args[0]) if args and args[0].isdigit() else 16384
+        fused_variant(n_envs)
+        return
     n_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     bf16 = (sys.argv[2] != "0") if len(sys.argv) > 2 else True
     T, L = 25, 10
