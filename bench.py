@@ -68,6 +68,9 @@ def bench(n_envs: int = 16384, episode_length: int = 25,
         "--use_bf16",  # TPU-native mixed precision: matmuls/LN in bf16,
         # heads/distributions/losses/optimizer fp32 (learning parity
         # pinned by tests/test_bf16.py; fp32 path ~1.56M steps/s)
+        "--use_critic_dedup",  # shared-MPE share_obs is agent-invariant:
+        # critic runs once per env row, value broadcast back — exact
+        # (tests/test_critic_dedup.py); +31% on this program (round 5)
     ])
     runner = SharedRunner(cfg)
     key = jax.random.PRNGKey(0)

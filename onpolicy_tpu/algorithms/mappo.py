@@ -161,8 +161,24 @@ class MAPPO:
                     ap, mb["obs"], mb["rnn_states"], mb["actions"],
                     mb["masks"], avail,
                     mb["active_masks"] if cfg.use_policy_active_masks else None)
-                values, _ = self.critic.forward(
-                    cp, mb["share_obs"], mb["rnn_states_critic"], mb["masks"])
+                if getattr(cfg, "use_critic_dedup", False):
+                    # rows are [T·N, M] in order (nmb=1 sampler is
+                    # permutation-free) and share_obs is agent-invariant:
+                    # one critic row per env, value broadcast back —
+                    # exact (config.use_critic_dedup)
+                    Ma = cfg.num_agents
+                    B = mb["share_obs"].shape[0]
+                    pick = lambda x: x.reshape(
+                        B // Ma, Ma, *x.shape[1:])[:, 0]
+                    v_env, _ = self.critic.forward(
+                        cp, pick(mb["share_obs"]),
+                        pick(mb["rnn_states_critic"]), pick(mb["masks"]))
+                    values = jnp.broadcast_to(
+                        v_env[:, None], (B // Ma, Ma, 1)).reshape(B, 1)
+                else:
+                    values, _ = self.critic.forward(
+                        cp, mb["share_obs"], mb["rnn_states_critic"],
+                        mb["masks"])
 
             pol_loss, ratio = losses.ppo_policy_loss(
                 logp, mb["old_action_log_probs"], mb["advantages"],

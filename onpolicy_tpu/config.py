@@ -90,6 +90,18 @@ class Config:
     # chains are HBM-bandwidth-bound, so this roughly halves both
     # compute and traffic on the hot path. Off by default.
     use_bf16: bool = False
+    # Shared-critic dedup (TPU-first optimization, no reference
+    # analogue): when the centralized-V input is IDENTICAL across the
+    # agent axis (the shared-runner MPE path builds share_obs with a
+    # broadcast — shared_runner._share_obs), the critic's forward and
+    # backward run once per ENV row instead of once per (env, agent)
+    # row, and the value broadcasts back. Mathematically exact (autodiff
+    # sums the per-agent cotangents through the broadcast); cuts the
+    # critic's HBM traffic by num_agents x in rollout, bootstrap and
+    # every ppo epoch. Only valid when share_obs really is
+    # agent-invariant — rejected for envs with per-agent states
+    # (Hanabi own-hand, SMAC AS state) by the guards in validate().
+    use_critic_dedup: bool = False
 
     # ---- optimizer ----
     lr: float = 5e-4
@@ -169,6 +181,27 @@ class Config:
             raise ValueError(
                 f"episode_length*n_rollout_threads={total_batch} not divisible "
                 f"by num_mini_batch={self.num_mini_batch}")
+        if self.use_critic_dedup:
+            if not (self.share_policy and self.use_centralized_V):
+                raise ValueError("use_critic_dedup requires share_policy "
+                                 "and use_centralized_V (the dedup relies "
+                                 "on an agent-invariant share_obs)")
+            if self.is_recurrent:
+                raise ValueError("use_critic_dedup supports feed-forward "
+                                 "policies only")
+            if self.algorithm_name != "mappo":
+                raise ValueError("use_critic_dedup supports the shared "
+                                 "mappo trainer only")
+            if self.num_mini_batch != 1:
+                raise ValueError("use_critic_dedup requires "
+                                 "num_mini_batch=1 (permuted minibatches "
+                                 "break the agent-axis row grouping)")
+            if self.env_name in ("Hanabi", "StarCraft2", "SMAC",
+                                 "StarCraft2v2", "SMACv2"):
+                raise ValueError(
+                    f"use_critic_dedup is invalid for {self.env_name}: its "
+                    "centralized state differs per agent (own-hand / "
+                    "agent-specific state)")
         return self
 
     @property

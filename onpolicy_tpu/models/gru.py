@@ -83,13 +83,13 @@ def _use_pallas(cfg) -> bool:
     """Route sequence mode through the fused Pallas kernel?
 
     Explicit True/False wins. Default (None) = AUTO: on for TPU runs at
-    the widths where the round-4 ON-CHIP gate passed AND the kernel
-    beats the scan — H ≥ 256 (grad step 1.16× at H=256, 1.21–1.26× at
-    H=512 after the VMEM-budget/tile fix, scripts/check_pallas_parity.py
-    + bench_pallas_gru.py); at H=64 both paths sit at the dispatch floor
-    and large-batch H=64 is a regression (0.75×), so the scan stays.
-    The kernel is f32 — auto stays off under bf16 compute so the A/B
-    semantics of --use_bf16 are unchanged."""
+    the widths where the ON-CHIP gate passed AND the kernel beats the
+    scan — f32: H ≥ 256 (grad step 1.16× at H=256, 1.21–1.26× at H=512
+    after the round-4 VMEM-budget/tile fix); bf16 (round-5 kernel bf16
+    streams): H ≥ 512 only (grad 1.08–1.24× at H=512; H=256 bf16 is a
+    wash at 1.01–1.04×, scripts/bench_pallas_gru.py --bf16). At H=64
+    both paths sit at the dispatch floor and large-batch H=64 is a
+    regression (0.75×), so the scan stays."""
     explicit = getattr(cfg, "use_pallas_gru", None)
     if explicit is not None:
         return bool(explicit)
@@ -100,8 +100,9 @@ def _use_pallas(cfg) -> bool:
     if getattr(cfg, "algorithm_name", "") == "hatrpo":
         return False
     H = cfg.hidden_size
-    return (jax.default_backend() == "tpu" and H >= 256 and H % 128 == 0
-            and not getattr(cfg, "use_bf16", False))
+    min_h = 512 if getattr(cfg, "use_bf16", False) else 256
+    return (jax.default_backend() == "tpu" and H >= min_h
+            and H % 128 == 0)
 
 
 def sequence(cfg, params, xs: jax.Array, hxs: jax.Array, masks: jax.Array):

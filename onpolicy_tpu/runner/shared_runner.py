@@ -152,10 +152,24 @@ class SharedRunner:
             k_act, k_env = jax.random.split(step_key)
             obs = c["obs"]
             share_obs = self._share_obs(obs)
-            values, actions, logp, rnn_a, rnn_c = self.algo.get_actions(
-                train_state, flat(share_obs), flat(obs),
-                flat(c["rnn_actor"]), flat(c["rnn_critic"]),
-                flat(c["masks"]), k_act)
+            if cfg.use_critic_dedup:
+                # share_obs is agent-invariant here (built by broadcast
+                # in _share_obs) — run the critic once per ENV row and
+                # broadcast the value (exact; config.use_critic_dedup)
+                actions, logp, rnn_a = self.algo.actor.forward(
+                    train_state.actor_params, flat(obs),
+                    flat(c["rnn_actor"]), flat(c["masks"]), k_act)
+                v_env, _ = self.algo.critic.forward(
+                    train_state.critic_params, share_obs[:, 0],
+                    c["rnn_critic"][:, 0], c["masks"][:, 0])
+                values = jnp.broadcast_to(
+                    v_env[:, None], (N, M, 1)).reshape(BA, 1)
+                rnn_c = flat(c["rnn_critic"])
+            else:
+                values, actions, logp, rnn_a, rnn_c = self.algo.get_actions(
+                    train_state, flat(share_obs), flat(obs),
+                    flat(c["rnn_actor"]), flat(c["rnn_critic"]),
+                    flat(c["masks"]), k_act)
             actions_env = unflat(actions)
             env_states, obs2, rewards, dones = self.envs.step(
                 c["env_states"], actions_env, k_env)
@@ -193,9 +207,15 @@ class SharedRunner:
         # bootstrap + GAE (base_runner.compute, :120-134)
         critic_in = (last["share_obs"] if self.algo.critic_reads == "share_obs"
                      else carry2["obs"])
-        next_values = unflat(self.algo.get_values(
-            train_state, flat(critic_in), flat(carry2["rnn_critic"]),
-            flat(carry2["masks"])))
+        if cfg.use_critic_dedup:
+            nv_env = self.algo.get_values(
+                train_state, critic_in[:, 0], carry2["rnn_critic"][:, 0],
+                carry2["masks"][:, 0])
+            next_values = jnp.broadcast_to(nv_env[:, None], (N, M, 1))
+        else:
+            next_values = unflat(self.algo.get_values(
+                train_state, flat(critic_in), flat(carry2["rnn_critic"]),
+                flat(carry2["masks"])))
         buf = buf.compute_returns(
             next_values, train_state.vnorm, gamma=cfg.gamma,
             gae_lambda=cfg.gae_lambda, use_gae=cfg.use_gae,

@@ -69,6 +69,11 @@ def main():
             outs = outs.astype(jnp.float32)
             return jnp.sum(outs * outs) + jnp.sum(hT)
 
+        def loss_f32(params):
+            c = cfg.replace(use_pallas_gru=False, use_bf16=False)
+            outs, hT = gru.sequence(c, params, xs, hxs, masks)
+            return jnp.sum(outs * outs) + jnp.sum(hT)
+
         fwd_scan = jax.jit(lambda p: loss(p, False))
         fwd_pl = jax.jit(lambda p: loss(p, True))
         g_scan = jax.jit(jax.grad(lambda p: loss(p, False)))
@@ -81,12 +86,27 @@ def main():
                                    rtol=ftol)
         a = jax.tree_util.tree_leaves(g_pl(params))
         b = jax.tree_util.tree_leaves(g_scan(params))
-        gtol = 2e-1 if use_bf16 else 2e-2
-        for x, y in zip(a, b):
-            # f32: reduction-order differences on the big dW sums;
-            # bf16: the paths round differently (kernel carries h f32)
-            np.testing.assert_allclose(np.float32(x), np.float32(y),
-                                       rtol=gtol, atol=gtol)
+        if use_bf16:
+            # the two bf16 paths round differently (the kernel carries
+            # h in f32), so compare BOTH to the f32 scan truth: the
+            # kernel's error must not exceed the bf16 scan's by more
+            # than bf16 noise (on-chip round-5 check: the kernel is the
+            # MORE accurate path on every leaf)
+            g32 = jax.jit(jax.grad(
+                lambda p: loss_f32(p)))(params)
+            t = jax.tree_util.tree_leaves(g32)
+            for x, y, z in zip(a, b, t):
+                sc = max(1.0, float(np.max(np.abs(np.float32(z)))))
+                ep = float(np.max(np.abs(np.float32(x)
+                                         - np.float32(z)))) / sc
+                es = float(np.max(np.abs(np.float32(y)
+                                         - np.float32(z)))) / sc
+                assert ep <= max(1.5 * es, 0.02), (ep, es)
+        else:
+            for x, y in zip(a, b):
+                # f32: reduction-order differences on the big dW sums
+                np.testing.assert_allclose(np.float32(x), np.float32(y),
+                                           rtol=2e-2, atol=2e-2)
 
         t_fs = bench(fwd_scan, (params,))
         t_fp = bench(fwd_pl, (params,))

@@ -74,14 +74,14 @@ def fused_variant(n_envs=16384, bf16=True):
     masks = jnp.ones((L, B, 1), jnp.float32)
     print(f"fused-variant shapes: [L={L}, B={B}, H={H}] bf16={bf16}")
 
-    def two_scan_loss(params):
+    def two_scan_loss(params, xa, xc):
         pa_, pc_ = params
         oa, _ = gru.sequence(cfg, pa_, xa, h0, masks)
         oc, _ = gru.sequence(cfg, pc_, xc, h0, masks)
         return jnp.sum(oa.astype(jnp.float32)) \
             + jnp.sum(oc.astype(jnp.float32))
 
-    def fused_loss(params):
+    def fused_loss(params, xa, xc):
         pa_, pc_ = params
         dt = cm.compute_dtype(cfg)
         pa_ = cm.cast_floats(pa_, dt)
@@ -112,8 +112,8 @@ def fused_variant(n_envs=16384, bf16=True):
 
     g2 = jax.jit(jax.grad(two_scan_loss))
     gf = jax.jit(jax.grad(fused_loss))
-    _, t2 = timed("two-scan grad (shipped)", g2, (pa, pc))
-    _, tf = timed("fused-scan grad", gf, (pa, pc))
+    _, t2 = timed("two-scan grad (shipped)", g2, (pa, pc), xa, xc)
+    _, tf = timed("fused-scan grad", gf, (pa, pc), xa, xc)
     print(f"fused/two-scan ratio: {tf / t2:.3f} "
           f"({'WIN' if tf < t2 else 'LOSS'} for fusion)")
 

@@ -93,8 +93,8 @@ def test_training_step_equivalence():
 
 
 def test_auto_enable_policy(monkeypatch):
-    """use_pallas_gru=None → AUTO: TPU + f32 + H>=256 (H%128==0) only;
-    explicit True/False always wins (models/gru._use_pallas)."""
+    """use_pallas_gru=None → AUTO: TPU + H>=256 f32 / H>=512 bf16
+    (H%128==0); explicit True/False always wins (gru._use_pallas)."""
     from onpolicy_tpu.config import Config
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
@@ -102,7 +102,8 @@ def test_auto_enable_policy(monkeypatch):
     assert gru._use_pallas(Config(hidden_size=256))
     assert not gru._use_pallas(Config(hidden_size=64))       # dispatch floor
     assert not gru._use_pallas(Config(hidden_size=300))      # lane-misaligned
-    assert not gru._use_pallas(Config(hidden_size=512, use_bf16=True))
+    assert gru._use_pallas(Config(hidden_size=512, use_bf16=True))
+    assert not gru._use_pallas(Config(hidden_size=256, use_bf16=True))
     assert not gru._use_pallas(Config(hidden_size=512,
                                       use_pallas_gru=False))
     assert gru._use_pallas(Config(hidden_size=64, use_pallas_gru=True))
