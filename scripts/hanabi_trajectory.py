@@ -27,7 +27,7 @@ if not rows:
 
 milestones = [int(b * 1e9) for b in
               (0.25, 0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0, 4.5, 5.0,
-               5.5, 6.0)]
+               5.5, 6.0, 6.5, 7.0, 7.5, 8.0, 8.5, 9.0, 9.5, 10.0)]
 print("| true steps | episode | train average_score |")
 print("|---|---|---|")
 i = 0

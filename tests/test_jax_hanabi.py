@@ -238,3 +238,37 @@ def test_fleet_vmap_matches_single():
                 np.asarray(je.encode(
                     game, jax.tree_util.tree_map(lambda x: x[i], fleet),
                     jnp.asarray(0))), err_msg=f"fleet t{t} env{i}")
+
+
+def test_onehot_select_helpers_match_indexing():
+    """_sel/_sel_rows/_set_row are drop-in one-hot forms of arr[i] /
+    arr[idxs] / arr.at[i].set(row) (the round-5 gather/scatter kill);
+    property-check them against direct indexing over random int arrays,
+    including negative values and out-of-range index clipping
+    semantics (out-of-range -> zeros for _sel*, no-op for _set_row)."""
+    import numpy as np
+    from onpolicy_tpu.envs.hanabi import jax_engine as je
+
+    rng = np.random.default_rng(0)
+    for shape in [(2,), (5,), (2, 5), (5, 3), (2, 5, 4)]:
+        arr = jnp.asarray(rng.integers(-3, 9, size=shape), jnp.int32)
+        n = shape[0]
+        for i in range(n):
+            np.testing.assert_array_equal(
+                np.asarray(je._sel(arr, jnp.int32(i))), np.asarray(arr[i]))
+            row = jnp.asarray(rng.integers(-3, 9, size=shape[1:]),
+                              jnp.int32)
+            np.testing.assert_array_equal(
+                np.asarray(je._set_row(arr, jnp.int32(i), row)),
+                np.asarray(arr.at[i].set(row)))
+        idxs = jnp.asarray(rng.integers(0, n, size=7), jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(je._sel_rows(arr, idxs)), np.asarray(arr[idxs]))
+        # out-of-range: one-hot select sums an empty mask -> zeros;
+        # set_row is a no-op (used for deck_ptr == deck_len)
+        np.testing.assert_array_equal(
+            np.asarray(je._sel(arr, jnp.int32(n))),
+            np.zeros(shape[1:], np.int32))
+        np.testing.assert_array_equal(
+            np.asarray(je._set_row(arr, jnp.int32(n), row * 0)),
+            np.asarray(arr))
